@@ -541,3 +541,62 @@ class RainDetectorProcessor:
         if bool(p.get("keep_state_config", False)):
             state["config"] = eng.cfg
         return metrics, state
+
+    def run_batch(self, audio_matrix: np.ndarray, params: Dict[str, Any]
+                  ) -> list:
+        """Device-batched path: one vmapped program for a (B, N) batch.
+
+        Returns ``[(metrics, state), ...]`` per clip — the orchestrator's
+        ``run_batch`` contract.  This is the TPU replacement for the
+        reference's per-file ProcessPoolExecutor fan-out.
+        """
+        import time as _time
+
+        audio_matrix = np.asarray(audio_matrix, np.float32)
+        if audio_matrix.ndim != 2:
+            raise ValueError(f"audio_matrix must be 2-D, got {audio_matrix.shape}")
+        B = audio_matrix.shape[0]
+
+        p = dict(params)
+        keep_features = bool(p.get("keep_state_features", True))
+        for flag, default in (
+            ("compute_output_audio", False), ("return_filtered_audio", False),
+            ("return_spectra", False), ("return_debug", False),
+            ("return_detector_debug", False), ("return_noise_psd", False),
+        ):
+            p.setdefault(flag, bool(p.get("keep_state_debug", False)) or default)
+
+        sample_rate = int(p.get("sample_rate", 11162))
+        eng = self._engine(p)
+        t0 = _time.perf_counter()
+        out = eng.process_batch(audio_matrix, sr=sample_rate)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        latency = (_time.perf_counter() - t0) / max(B, 1)
+
+        cmin = int(p.get("clip_rain_min_frames", 1))
+        pairs = []
+        for i in range(B):
+            fc = out["frame_class"][i]
+            rc = out["rain_conf"][i]
+            agg = clip_aggregate(fc, rc, cmin)
+            metrics: Dict[str, Any] = {**agg, "latency_s": latency}
+            if "mean_noise_floor_db" in out:
+                metrics["mean_noise_floor_db"] = float(out["mean_noise_floor_db"][i])
+                metrics["median_noise_floor_db"] = float(
+                    out["median_noise_floor_db"][i]
+                )
+            state: Dict[str, Any] = {
+                "frame_class": fc,
+                "times": out["times"][i],
+                "rain_conf": rc,
+                "noise_conf": out["noise_conf"][i],
+                **agg,
+                "latency_s": latency,
+                "processor": self.name,
+            }
+            if keep_features and "features" in out:
+                state["features"] = {
+                    k: v[i] for k, v in out["features"].items()
+                }
+            pairs.append((metrics, state))
+        return pairs

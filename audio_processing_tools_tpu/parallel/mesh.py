@@ -1,0 +1,164 @@
+"""Device mesh + sharded execution of the flagship pipeline.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings, let XLA insert
+the collectives.
+
+  * ``files`` axis: data parallelism over clips — each device runs the full
+    engine on its shard of the batch (the audio analogue of DP).  This is
+    embarrassingly parallel; XLA inserts no communication for the per-clip
+    outputs.
+  * Corpus aggregates (rain-frame counters, accuracy counts, noise-floor
+    means — the reference's ``pd.concat``/upsert "collectives") are reduced
+    in-graph to replicated scalars; XLA lowers the reduction to an
+    ``all-reduce`` over ICI.
+
+For very long single recordings the time axis can additionally be sharded
+(sequence parallelism): the engine's carries (noise trackers) are small, so
+a ``ppermute`` halo/carry handoff is cheap — see ``models.band_noise`` for
+the chunked-state streaming form this builds on.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audio_processing_tools_tpu.config import build_noise_config
+from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
+from audio_processing_tools_tpu.models.frame_classifier import FrameClass
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "files") -> Mesh:
+    """1-D mesh over available devices (pad-free: uses first n)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(xb: np.ndarray, mesh: Mesh, axis: str = "files"):
+    """Place a (B, N) batch sharded over the mesh's file axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(jnp.asarray(xb, jnp.float32), sharding)
+
+
+class ShardedRainPipeline:
+    """The flagship batched step, pjit-sharded over a ``files`` mesh axis.
+
+    ``step(xb)`` returns per-clip outputs (sharded) plus replicated corpus
+    aggregates — the multi-chip equivalent of
+    ``process_audio_batches_v2``'s per-batch collection + ``pd.concat``.
+    """
+
+    def __init__(self, params: Dict[str, Any], mesh: Mesh, axis: str = "files"):
+        sr = int(params.get("sample_rate", params.get("fs", 11162)))
+        self.cfg = build_noise_config(sr, params)
+        self.cfg.validate()
+        self.sr = sr
+        self.mesh = mesh
+        self.axis = axis
+        self.clip_rain_min_frames = max(1, int(params.get("clip_rain_min_frames", 1)))
+        self._engine = SpectralNoiseEngine(self.cfg)
+        self._compiled: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _traced_step(self, xb: jnp.ndarray) -> Dict[str, Any]:
+        single = lambda x: self._engine._trace_single(x, self.sr)
+        out = jax.vmap(single)(xb)
+
+        frame_class = out["frame_class"]          # (B, T)
+        rain_conf = out["rain_conf"]
+        is_rain = frame_class == jnp.int8(FrameClass.RAIN)
+        rain_frame_count = jnp.sum(is_rain, axis=-1)            # (B,)
+        clip_rain_fraction = jnp.mean(is_rain.astype(jnp.float32), axis=-1)
+        clip_is_rain = rain_frame_count >= self.clip_rain_min_frames
+
+        per_clip = {
+            "frame_class": frame_class,
+            "rain_conf": rain_conf,
+            "noise_conf": out["noise_conf"],
+            "rain_frame_count": rain_frame_count,
+            "clip_rain_fraction": clip_rain_fraction,
+            "clip_is_rain": clip_is_rain,
+        }
+        if "mean_noise_floor_db" in out:
+            per_clip["mean_noise_floor_db"] = out["mean_noise_floor_db"]
+
+        # corpus aggregates -> replicated scalars (ICI all-reduce)
+        aggregates = {
+            "total_rain_frames": jnp.sum(rain_frame_count),
+            "total_rain_clips": jnp.sum(clip_is_rain.astype(jnp.int32)),
+            "total_clips": jnp.asarray(xb.shape[0], jnp.int32),
+            "mean_rain_fraction": jnp.mean(clip_rain_fraction),
+        }
+        return {"per_clip": per_clip, "aggregates": aggregates}
+
+    def _get_fn(self, shape):
+        fn = self._compiled.get(shape)
+        if fn is None:
+            data_sharding = NamedSharding(self.mesh, P(self.axis))
+            repl = NamedSharding(self.mesh, P())
+            out_shardings = {
+                "per_clip": jax.tree_util.tree_map(
+                    lambda _: data_sharding, self._out_structure(shape)["per_clip"]
+                ),
+                "aggregates": jax.tree_util.tree_map(
+                    lambda _: repl, self._out_structure(shape)["aggregates"]
+                ),
+            }
+            fn = jax.jit(
+                self._traced_step,
+                in_shardings=(data_sharding,),
+                out_shardings=out_shardings,
+            )
+            self._compiled[shape] = fn
+        return fn
+
+    def _out_structure(self, shape):
+        return jax.eval_shape(
+            self._traced_step, jax.ShapeDtypeStruct(shape, jnp.float32)
+        )
+
+    # ------------------------------------------------------------------
+    def step(self, xb) -> Dict[str, Any]:
+        """One sharded batch step. ``xb`` is (B, N) with B divisible by the
+        mesh size (pad with silence clips otherwise)."""
+        n_dev = self.mesh.devices.size
+        B = xb.shape[0]
+        if B % n_dev != 0:
+            pad = n_dev - (B % n_dev)
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+        xb_dev = shard_batch(xb, self.mesh, self.axis)
+        out = self._get_fn(xb_dev.shape)(xb_dev)
+        return out
+
+    def run_corpus(self, clips: np.ndarray, batch: int = 32) -> Dict[str, Any]:
+        """Process a corpus in sharded batches and fold aggregates."""
+        totals = {"total_rain_frames": 0, "total_rain_clips": 0, "total_clips": 0}
+        per_clip_parts = []
+        n = clips.shape[0]
+        for i in range(0, n, batch):
+            out = self.step(clips[i : i + batch])
+            real = min(batch, n - i)
+            pc = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:real], out["per_clip"]
+            )
+            per_clip_parts.append(pc)
+            totals["total_rain_frames"] += int(
+                np.asarray(pc["rain_frame_count"]).sum()
+            )
+            totals["total_rain_clips"] += int(np.asarray(pc["clip_is_rain"]).sum())
+            totals["total_clips"] += real
+        merged = {
+            k: np.concatenate([p[k] for p in per_clip_parts])
+            for k in per_clip_parts[0]
+        }
+        return {"per_clip": merged, "aggregates": totals}

@@ -1,0 +1,192 @@
+"""Tests for the MARK container, audio normalization, and key discovery."""
+
+import numpy as np
+import pytest
+
+from audio_processing_tools_tpu.io.mark import (
+    parse_mark_audio_file,
+    parse_mark_header,
+    write_mark_audio_file,
+    parse_s3_audio_key,
+    MarkHeaderError,
+    HEADER_SIZE,
+)
+from audio_processing_tools_tpu.io.audio import (
+    safe_to_float,
+    ensure_mono_len_sr,
+    pcm_to_float,
+    get_keys,
+    get_input_data,
+    load_wav,
+    write_wav,
+)
+from audio_processing_tools_tpu.io.caf import rearrange_bytes, read_ber_integer
+
+FS = 11162
+
+
+def test_mark_roundtrip(rng):
+    pcm = (rng.standard_normal(FS) * 1000).astype(np.int16)
+    blob = write_mark_audio_file(
+        pcm, sample_rate=FS, timestamp=1700000000, device_id="DEV1234",
+        lat=37.5, lon=-122.1, alt=12.0,
+    )
+    assert len(blob) == HEADER_SIZE + 2 * FS
+    sig, meta = parse_mark_audio_file(blob)
+    np.testing.assert_array_equal(sig, pcm)
+    assert meta["sample_rate"] == FS
+    assert meta["device_id"] == "DEV1234"
+    assert meta["time"] == 1700000000
+    assert abs(meta["lat"] - 37.5) < 1e-5
+    assert meta["format"] == "pcm"
+    assert meta["duration"] == round(FS / FS, 2)
+
+
+def test_mark_header_only(rng):
+    blob = write_mark_audio_file(np.zeros(10, np.int16), sample_rate=FS)
+    hdr = parse_mark_header(blob[:HEADER_SIZE] + b"")
+    assert hdr["sample_rate"] == FS
+    with pytest.raises(MarkHeaderError):
+        parse_mark_header(b"\x00" * 40)
+
+
+def test_mark_headerless_fallback(rng, capsys):
+    """No magic -> raw PCM defaults (reference parse.py:202-215)."""
+    pcm = (rng.standard_normal(500) * 100).astype(np.int16)
+    sig, meta = parse_mark_audio_file(pcm.tobytes())
+    np.testing.assert_array_equal(sig, pcm)
+    assert meta["sample_rate"] == 11162 and meta["bit_depth"] == 16
+
+
+def test_mark_odd_payload_aligned(rng):
+    pcm = (rng.standard_normal(100)).astype(np.int16)
+    blob = write_mark_audio_file(pcm, sample_rate=FS) + b"\x55"  # stray byte
+    sig, _ = parse_mark_audio_file(blob)
+    assert sig.size == 100
+
+
+def test_mark_big_endian(rng):
+    pcm = (rng.standard_normal(64) * 3000).astype(np.int16)
+    blob = write_mark_audio_file(pcm, sample_rate=FS, endianness=1)
+    sig, meta = parse_mark_audio_file(blob)
+    np.testing.assert_array_equal(sig, pcm)
+    assert meta["endianness"] == 1
+
+
+def test_safe_to_float(rng):
+    i16 = np.array([-32767, 0, 32767], np.int16)
+    out = safe_to_float(i16)
+    np.testing.assert_allclose(out, [-1.0, 0.0, 1.0], atol=1e-6)
+    out2 = safe_to_float(i16.tobytes())
+    np.testing.assert_allclose(out2, [-1.0, 0.0, 1.0], atol=1e-6)
+    f = np.array([-2.0, 0.5, 2.0], np.float64)
+    np.testing.assert_allclose(safe_to_float(f), [-1.0, 0.5, 1.0])
+    with pytest.raises(ValueError):
+        safe_to_float(np.zeros(3, np.int32))
+    assert pcm_to_float(np.int16(16384)) == 16384 / 32768
+
+
+def test_ensure_mono_len_sr(rng):
+    y = rng.standard_normal((2, FS * 2)).astype(np.float32) * 0.1
+    out = ensure_mono_len_sr(y, FS, FS, 1.0)
+    assert out.shape == (FS,)
+    np.testing.assert_allclose(out, y.mean(axis=0)[:FS], atol=1e-6)
+    # resample path
+    out2 = ensure_mono_len_sr(rng.standard_normal(44100).astype(np.float32), 44100, FS, 0.5)
+    assert out2.shape == (FS // 2,)
+    # too short -> None
+    assert ensure_mono_len_sr(np.zeros(100, np.float32), FS, FS, 1.0) is None
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(FS) / FS)).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, y, FS)
+    y2, sr = load_wav(path)
+    assert sr == FS
+    np.testing.assert_allclose(y2, y, atol=1e-4)
+
+
+def test_parse_s3_audio_key():
+    info = parse_s3_audio_key("audio/DEV1/loc-a/1678743960")
+    assert info["device_id"] == "DEV1"
+    assert info["time"].year >= 2023
+    info2 = parse_s3_audio_key(
+        "raw_audio/DEV2/a/b/c/20240105_12_30_00_000000_rain_007"
+    )
+    assert info2["device_id"] == "DEV2"
+    assert (info2["time"].month, info2["time"].day) == (1, 5)
+    with pytest.raises(ValueError):
+        parse_s3_audio_key("other/DEV1/x/1")
+
+
+def test_get_keys_local(tmp_path, rng):
+    d = tmp_path / "vecs"
+    (d / "sub").mkdir(parents=True)
+    for name, label in [("a_true.bin", True), ("b_false.bin", False),
+                        ("sub/c.wav", None)]:
+        blob = write_mark_audio_file(np.zeros(100, np.int16), sample_rate=FS)
+        (d / name).write_bytes(blob)
+    keys = get_keys("LocalPath", test_vector_path=str(d), localStatus=True)
+    by_name = {k["source_file"].split("/")[-1]: k["raining"] for k in keys}
+    assert by_name["a_true.bin"] is True
+    assert by_name["b_false.bin"] is False
+    assert by_name["c.wav"] is True  # falls back to localStatus
+    with pytest.raises(ValueError):
+        get_keys("Bogus")
+
+
+def test_get_input_data_local(tmp_path, rng):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pcm = (rng.standard_normal(FS * 2) * 1000).astype(np.int16)
+    (d / "x_true.bin").write_bytes(write_mark_audio_file(pcm, sample_rate=FS))
+    write_wav(str(d / "y_false.wav"), rng.standard_normal(FS * 2).astype(np.float32) * 0.1, FS)
+    (d / "short.bin").write_bytes(
+        write_mark_audio_file(np.zeros(10, np.int16), sample_rate=FS)
+    )
+    keys = get_keys("LocalPath", test_vector_path=str(d))
+    data = get_input_data(keys, "LocalPath", FS, 1.0, True, None, None, 2)
+    assert len(data) == 2  # short file skipped
+    for k, v in data.items():
+        assert v["file_contents"].shape == (FS,)
+        assert v["file_contents"].dtype == np.float32
+
+
+def test_get_input_data_augmentation(tmp_path, rng):
+    d = tmp_path / "c2"
+    d.mkdir()
+    pcm = (rng.standard_normal(FS) * 1000).astype(np.int16)
+    (d / "x_true.bin").write_bytes(write_mark_audio_file(pcm, sample_rate=FS))
+    keys = get_keys("LocalPath", test_vector_path=str(d))
+
+    def injector(key, y):
+        return y + 0.01, {"kind": "offset"}
+
+    data = get_input_data(
+        keys, "LocalPath", FS, 0.5, True, None, None, 2, noise_injector=injector
+    )
+    (entry,) = data.values()
+    assert entry["synthetic_noise_info"] == {"kind": "offset"}
+
+
+def test_ber_integer():
+    assert read_ber_integer(bytes([0x05]), 2) == (5, 1)
+    assert read_ber_integer(bytes([0x81, 0x02]), 2) == (0x82, 2)
+    assert read_ber_integer(bytes([0x7F, 0xFF]), 2) == (0x7F, 1)
+
+
+def test_caf_container_structure():
+    """CAF writer emits the expected chunk sequence and copies packets."""
+    # two fake BER-framed packets: sizes 3 and 2, table-entry length 1
+    payload = bytes([3, 0, 1]) + b"abc" + bytes([2, 0, 1]) + b"de"
+    caf = rearrange_bytes(payload)
+    assert caf[:8] == b"caff\x00\x01\x00\x00"
+    assert b"desc" in caf and b"kuki" in caf and b"pakt" in caf and b"data" in caf
+    didx = caf.index(b"data")
+    # data chunk header is 16 bytes; payloads copied consecutively after it
+    assert caf[didx + 16 : didx + 16 + 5] == b"abcde"
+    # leading MARK magic is skipped (magic stored LE in the stream)
+    caf2 = rearrange_bytes(b"\xAD\xFB\xCA\xDE" + b"\x00" * 36 + payload)
+    didx2 = caf2.index(b"data")
+    assert caf2[didx2 + 16 : didx2 + 16 + 5] == b"abcde"
