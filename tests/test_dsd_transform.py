@@ -1,0 +1,110 @@
+"""DSD firmware-emulator + transform ETL tests."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from audio_processing_tools_tpu.host_analysis.dsd_emulator import (
+    DsdProcessingEmulator,
+    DsdProcessingEmualtor,
+    dsd_minutes_vectorized,
+)
+from audio_processing_tools_tpu.transform import (
+    emulator_output_to_df,
+    reverse_binning_func,
+    add_weighted_dsd_data,
+    get_real_fft_df,
+)
+
+FS = 11162
+
+
+def _rain_audio(rng, seconds=120):
+    n = FS * seconds
+    x = 0.01 * rng.standard_normal(n)
+    for t0 in rng.integers(0, n - 700, 40 * seconds // 60):
+        k = np.arange(600)
+        x[t0 : t0 + 600] += 1.5 * np.exp(-k / 100.0) * np.sin(2 * np.pi * 520 * k / FS)
+    return x.astype(np.float64)
+
+
+def test_emulator_config_indices():
+    emu = DsdProcessingEmulator()
+    assert emu.fft_n_bins == 256
+    assert emu.rain_low_idx == 19 and emu.rain_high_idx == 32
+    assert emu.pft_low_idx == 5 and emu.pft_high_idx == 67
+    assert emu.lwin_start_idx == 13 and emu.lwin_end_idx == 31
+    assert emu.hwin_start_idx == 45 and emu.hwin_end_idx == 63
+    assert DsdProcessingEmualtor is DsdProcessingEmulator  # compat alias
+
+
+def test_emulator_minute_vectors(rng):
+    x = _rain_audio(rng)
+    emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+    out = emu.process_audio_data(x, ts=0)
+    assert len(out) == 2  # two minutes
+    for vec in out:
+        assert vec.shape == (100,)
+        assert vec[:32].sum() > 0  # rain-band energy detected
+        assert (vec[62:] <= 255).all()  # fft bins are uint8-bounded
+
+
+def test_emulator_duty_cycle_on_quiet_audio(rng):
+    """No rain -> emulator skips to the last 3 s of each minute."""
+    x = (1e-5 * rng.standard_normal(FS * 120)).astype(np.float64)
+    emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+    out = emu.process_audio_data(x, ts=0)
+    # first minute processed fully (starts raining=True), no rain found;
+    # second minute duty-cycled: only ~3 s examined
+    assert len(out) >= 1
+    assert not emu.raining
+    assert all(v[:32].sum() == 0 for v in out)
+
+
+def test_emulator_short_audio():
+    emu = DsdProcessingEmulator()
+    assert emu.process_audio_data(np.zeros(100), ts=0) == []
+
+
+def test_vectorized_matches_scalar_when_raining(rng):
+    x = _rain_audio(rng, seconds=120)
+    emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+    ref = np.asarray(emu.process_audio_data(x.copy(), ts=0))
+    fast = dsd_minutes_vectorized(x, FS, 512, ts=0.0)
+    assert fast.shape[0] >= ref.shape[0]
+    np.testing.assert_allclose(fast[: ref.shape[0]], ref, atol=1e-9)
+
+
+def test_emulator_output_to_df(rng):
+    out = [np.arange(100.0), np.arange(100.0) * 2]
+    df = emulator_output_to_df(out, "DEV1", dt.datetime(2024, 1, 1, 12, 0, 0))
+    assert list(df.columns[:3]) == ["dsd0", "dsd1", "dsd2"]
+    assert df["time"].iloc[0] == pd.Timestamp(2024, 1, 1, 12, 1, 0)
+    assert df["time"].iloc[1] == pd.Timestamp(2024, 1, 1, 12, 2, 0)
+    assert (df["device"] == "DEV1").all()
+    assert {"pft0", "fft37"}.issubset(df.columns)
+
+
+def test_reverse_binning_and_weighting():
+    assert abs(reverse_binning_func(0) - (0.0 / 0.6 + 0.6)) < 1e-12
+    # inverse property: forward binning of the weight recovers the bin index
+    for b in range(1, 32):
+        w = reverse_binning_func(b)
+        fwd = np.log(1 + (w - 0.6) * 0.6) / np.log(1.13)
+        assert abs(fwd - b) < 1e-9
+
+    df = pd.DataFrame({f"dsd{i}": [1.0, 2.0] for i in range(32)})
+    out = add_weighted_dsd_data(df, add_weighted_dsd_sum=True)
+    assert "dsd5_weighted" in out.columns
+    assert "weighted_dsd_sum" in out.columns
+    expected = sum(reverse_binning_func(i) for i in range(32))
+    assert abs(out["weighted_dsd_sum"].iloc[0] - expected) < 1e-9
+
+
+def test_get_real_fft_df(rng):
+    sig = np.sin(2 * np.pi * 500 * np.arange(FS) / FS)
+    df = get_real_fft_df(sig, FS)
+    peak_freq = df.loc[df["amplitude"].idxmax(), "frequency"]
+    assert abs(peak_freq - 500) < 2
