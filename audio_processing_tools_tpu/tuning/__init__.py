@@ -1,0 +1,34 @@
+"""Parameter tuning: grid search, classifier wrappers, native/device bridges.
+
+Parity with the reference ``edge/parameter_tuning/`` package, with a
+device-vectorized sweep path: on TPU, parameter grids whose knobs are
+traced values (thresholds, gates) run as a single ``vmap`` over combos.
+"""
+
+from audio_processing_tools_tpu.tuning.grid_search import (
+    grid_search,
+    grid_search_parallel,
+    generate_param_combinations,
+)
+from audio_processing_tools_tpu.tuning.classification_algo import (
+    python_classifier_wrapper,
+    c_classifier_wrapper,
+    grid_search_classification_wrapper,
+)
+from audio_processing_tools_tpu.tuning.call_native import (
+    rain_detection_algo as rain_detection_algo_native,
+    get_version,
+    load_native_library,
+)
+
+__all__ = [
+    "grid_search",
+    "grid_search_parallel",
+    "generate_param_combinations",
+    "python_classifier_wrapper",
+    "c_classifier_wrapper",
+    "grid_search_classification_wrapper",
+    "rain_detection_algo_native",
+    "get_version",
+    "load_native_library",
+]

@@ -1,0 +1,77 @@
+"""Grid-search resume semantics + device-vmapped threshold sweep."""
+
+import json
+import glob
+
+import numpy as np
+import pytest
+
+from audio_processing_tools_tpu.tuning.grid_search import (
+    grid_search,
+    generate_param_combinations,
+    load_processed_param_ids,
+    grid_search_vmapped,
+)
+from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+
+FS = 11162
+
+
+def test_generate_param_combinations():
+    combos = generate_param_combinations({"a": [1, 2], "b": ["x", "y", "z"]})
+    assert len(combos) == 6
+    assert {"a": 1, "b": "x"} in combos
+
+
+def test_grid_search_resume(tmp_path):
+    calls = []
+
+    def alg(df, **params):
+        calls.append(params)
+        return 0.9, [1], [2], [], []
+
+    grid = {"thr": [1, 2]}
+    grid_search(None, alg, grid, "t1", str(tmp_path))
+    assert len(calls) == 2
+    files = glob.glob(str(tmp_path / "t1_*.json"))
+    assert len(files) == 2
+    with open(files[0]) as f:
+        saved = json.load(f)
+    assert saved["overall_accuracy"] == 0.9
+    assert "parameters" in saved
+
+    # resume: nothing re-runs
+    grid_search(None, alg, grid, "t1", str(tmp_path))
+    assert len(calls) == 2
+    assert len(load_processed_param_ids(str(tmp_path / "t1_*.json"))) == 2
+
+
+def test_grid_search_vmapped(rng):
+    def rain(n):
+        x = 0.005 * rng.standard_normal(n)
+        for t0 in rng.integers(FS // 4, n - 2000, 20):
+            k = np.arange(800)
+            ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                       for f, a in [(520, 1), (900, 0.5), (1600, 0.35), (2450, 0.25)])
+            x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+        return x.astype(np.float32)
+
+    n = FS * 2
+    clips = np.stack([rain(n), rain(n),
+                      (0.02 * rng.standard_normal(n)).astype(np.float32),
+                      (0.01 * rng.standard_normal(n)).astype(np.float32)])
+    labels = np.array([True, True, False, False])
+
+    results = grid_search_vmapped(
+        clips, labels,
+        {"new_rain_primary_flux_min": [1.8, 6.0],
+         "clip_rain_min_frames": [3]},
+        base_params={"sample_rate": FS},
+    )
+    assert len(results) == 2
+    by_thr = {r["parameters"]["new_rain_primary_flux_min"]: r for r in results}
+    # the standard threshold should classify the corpus correctly
+    assert by_thr[1.8]["overall_accuracy"] == 1.0
+    # an absurdly high threshold kills the rain detections
+    assert by_thr[6.0]["overall_accuracy"] <= 0.5
+    assert set(by_thr[1.8]["tp_classifications"]) == {0, 1}
