@@ -273,38 +273,72 @@ def _section_AB(sos_row) -> tuple[np.ndarray, np.ndarray, float]:
     return A, B, b0
 
 
-@partial(jax.jit, static_argnames=("axis",))
+@partial(jax.jit, static_argnames=("axis", "block"))
 def _sosfilt_section_pscan(x: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray, b0: float,
-                           zi: jnp.ndarray, axis: int = -1) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One biquad over the last axis via associative scan.
+                           zi: jnp.ndarray, axis: int = -1, block: int = 512
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One biquad over the last axis as a blocked two-level parallel scan.
 
-    z[n] = A z[n-1] + B x[n]  (affine recurrence -> parallel scan)
-    y[n] = b0 x[n] + z0[n-1]
+    z[n] = A z[n-1] + B x[n]  (affine recurrence), y[n] = b0 x[n] + z0[n-1].
+
+    A flat ``associative_scan`` over T ~ 1e5 samples materializes
+    O(T log T) 2x2-matrix traffic; the blocked form is HBM-light:
+      1. in-block prefix affines: one ``lax.scan`` of ``block`` steps,
+         vectorized over (batch x n_blocks) — the time axis is folded so the
+         sequential length is only ``block``;
+      2. block-boundary states: a tiny ``lax.scan`` over n_blocks;
+      3. per-sample states: prefix applied to the block-start state,
+         elementwise.
     """
-    # Elements are (M, v): composition (M2,v2)*(M1,v1) = (M2 M1, M2 v1 + v2)
     xT = jnp.moveaxis(x, axis, -1)
     shape = xT.shape
     T = shape[-1]
-    Ms = jnp.broadcast_to(A, shape + (2, 2)).astype(xT.dtype)
-    vs = xT[..., None] * B.astype(xT.dtype)  # (..., T, 2)
+    dt = xT.dtype
+    A = A.astype(dt)
+    B = B.astype(dt)
 
-    def compose(e1, e2):
-        M1, v1 = e1
-        M2, v2 = e2
-        return jnp.einsum("...ij,...jk->...ik", M2, M1), (
-            jnp.einsum("...ij,...j->...i", M2, v1) + v2
-        )
+    nb = -(-T // block)
+    pad = nb * block - T
+    xp = jnp.pad(xT, [(0, 0)] * (xT.ndim - 1) + [(0, pad)])
+    xb = xp.reshape(shape[:-1] + (nb, block))          # (..., nb, block)
+    xs = jnp.moveaxis(xb, -1, 0)                       # (block, ..., nb)
 
-    Mc, vc = jax.lax.associative_scan(compose, (Ms, vs), axis=len(shape) - 1)
-    # z[n] = Mc[n] @ zi + vc[n]; zi is (..., 2) -> insert the time axis
-    zi_b = jnp.broadcast_to(zi.astype(xT.dtype), shape[:-1] + (2,))[..., None, :]
-    z = jnp.einsum("...tij,...tj->...ti", Mc, jnp.broadcast_to(zi_b, vc.shape)) + vc
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=dt), shape[:-1] + (nb, 2, 2))
+    zeros = jnp.zeros(shape[:-1] + (nb, 2), dt)
+
+    def step(carry, x_t):
+        Mp, vp = carry
+        Mn = jnp.einsum("ij,...jk->...ik", A, Mp)
+        vn = jnp.einsum("ij,...j->...i", A, vp) + x_t[..., None] * B
+        return (Mn, vn), (Mn, vn)
+
+    (_, _), (Mpref, vpref) = jax.lax.scan(step, (eye, zeros), xs)
+    # Mpref/vpref: (block, ..., nb, 2, 2) / (block, ..., nb, 2)
+
+    # block composites = last prefix of each block
+    Mc = jnp.moveaxis(Mpref[-1], -3, 0)  # (nb, ..., 2, 2)
+    vc = jnp.moveaxis(vpref[-1], -2, 0)  # (nb, ..., 2)
+
+    zi_b = jnp.broadcast_to(zi.astype(dt), shape[:-1] + (2,))
+
+    def block_step(z, mv):
+        M, v = mv
+        zn = jnp.einsum("...ij,...j->...i", M, z) + v
+        return zn, z  # emit the block-START state
+
+    z_last, z_starts = jax.lax.scan(block_step, zi_b, (Mc, vc))
+    z_starts = jnp.moveaxis(z_starts, 0, -2)  # (..., nb, 2)
+
+    # per-sample z[t] within each block
+    z_all = jnp.einsum("t...ij,...j->t...i", Mpref, z_starts) + vpref
+    z_all = jnp.moveaxis(z_all, 0, -2)        # (..., nb, block, 2)
+    z_flat = z_all.reshape(shape[:-1] + (nb * block, 2))[..., :T, :]
+
     z_prev0 = jnp.concatenate(
-        [jnp.broadcast_to(zi[..., :1].astype(xT.dtype), shape[:-1] + (1,)), z[..., :-1, 0]],
-        axis=-1,
+        [zi_b[..., :1], z_flat[..., :-1, 0]], axis=-1
     )
     y = b0 * xT + z_prev0
-    z_final = z[..., -1, :]
+    z_final = z_flat[..., -1, :]
     return jnp.moveaxis(y, -1, axis), z_final
 
 

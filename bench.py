@@ -1,10 +1,17 @@
 """Headline benchmark: audio-hours/hour/chip through decode -> STFT -> rain
-features (the project north-star metric; baseline target 500).
+features (north-star target: 500).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Pipeline shape (the production design):
+  host: int16 sensor PCM (container decode output) ->
+  device: int16->float scaling ("decode" tail), prefilter, STFT, detector
+          noise normalization, rain-frame classification, clip aggregates.
 
-Run on the real TPU by default; ``--quick`` runs a small CPU smoke version.
+Transfers ship int16 (half the bytes of float32) and are double-buffered:
+batch k+1 is placed on device while batch k computes; only small per-clip
+outputs (frame classes + counts) come back.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``--quick`` runs a small CPU smoke version.
 """
 
 import argparse
@@ -20,73 +27,92 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true", help="small CPU smoke run")
     ap.add_argument("--batch", type=int, default=0, help="fixed batch size (0 = sweep)")
     ap.add_argument("--clip-sec", type=float, default=10.0)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
 
-    from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+    from audio_processing_tools_tpu.config import build_noise_config, DEFAULT_MODE_BANDS
     from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
-    from audio_processing_tools_tpu.io.audio import safe_to_float
+    from audio_processing_tools_tpu.models.frame_classifier import FrameClass
 
     FS = 11162
-    eng = SpectralNoiseEngine()
-    eng.setup({
-        "sample_rate": FS,
+    cfg = build_noise_config(FS, {
         "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
         "classifier_only_mode": True,  # decode -> STFT -> rain features
     })
+    eng = SpectralNoiseEngine(cfg)
 
     clip_len = int(FS * args.clip_sec)
     rng = np.random.default_rng(0)
 
-    def make_batch(B):
-        # int16 "decoded sensor PCM" -> float (the decode stage is host-side)
-        pcm = (rng.standard_normal((B, clip_len)) * 2000).astype(np.int16)
-        return pcm
+    def step_fn(pcm_i16):
+        # device-side decode tail: int16 -> float32 [-1, 1]
+        xb = pcm_i16.astype(jnp.float32) / 32767.0
+        out = jax.vmap(lambda x: eng._trace_single(x, FS))(xb)
+        fc = out["frame_class"]
+        return {
+            "rain_frame_count": jnp.sum(
+                fc == jnp.int8(FrameClass.RAIN), axis=-1
+            ).astype(jnp.int32),
+            "mean_rain_conf": jnp.mean(out["rain_conf"], axis=-1),
+        }
+
+    step = jax.jit(step_fn)
 
     def run_once(B, iters):
-        pcm = make_batch(B)
+        host_batches = [
+            (rng.standard_normal((B, clip_len)) * 2000).astype(np.int16)
+            for _ in range(2)
+        ]
         # warm-up / compile
-        xb = np.stack([safe_to_float(row) for row in pcm])
-        out = eng.process_batch(xb)
-        np.asarray(out["frame_class"])
+        r = step(jax.device_put(jnp.asarray(host_batches[0])))
+        np.asarray(r["rain_frame_count"])
+
         t0 = time.perf_counter()
-        for _ in range(iters):
-            xb = np.stack([safe_to_float(row) for row in pcm])  # decode stage
-            out = eng.process_batch(xb)
-            np.asarray(out["frame_class"])  # force completion
+        inflight = jax.device_put(jnp.asarray(host_batches[0]))
+        results = []
+        for i in range(iters):
+            current = inflight
+            # double-buffer: stage the next batch while this one computes
+            if i + 1 < iters:
+                inflight = jax.device_put(
+                    jnp.asarray(host_batches[(i + 1) % 2])
+                )
+            out = step(current)
+            results.append(out)
+            # drain periodically so queues stay bounded
+            if len(results) >= 2:
+                np.asarray(results.pop(0)["rain_frame_count"])
+        for out in results:
+            np.asarray(out["rain_frame_count"])
         dt = (time.perf_counter() - t0) / iters
-        return B * args.clip_sec / dt  # audio-seconds per wall-second
+        return B * args.clip_sec / dt
 
     if args.quick:
-        batches = [args.batch or 4]
-        iters = 1
+        batches, iters = [args.batch or 4], 2
     elif args.batch:
-        batches = [args.batch]
-        iters = args.iters
+        batches, iters = [args.batch], args.iters
     else:
-        batches = [16, 32, 64]
-        iters = args.iters
+        # measured sweet spot on v5e through the axon tunnel: B=128
+        batches, iters = [128], args.iters
 
-    best_rate = 0.0
-    best_B = 0
+    best_rate, best_B = 0.0, 0
     for B in batches:
         rate = run_once(B, iters)
         print(f"# batch={B}: {rate:.0f} audio-sec/sec", file=sys.stderr)
         if rate > best_rate:
             best_rate, best_B = rate, B
 
-    # audio-sec/wall-sec == audio-hours/wall-hour
-    value = best_rate
     print(json.dumps({
         "metric": "audio-hours/hour/chip (decode->STFT->rain features)",
-        "value": round(value, 1),
+        "value": round(best_rate, 1),
         "unit": "audio-hours/hour",
-        "vs_baseline": round(value / 500.0, 3),
+        "vs_baseline": round(best_rate / 500.0, 3),
         "batch": best_B,
         "clip_sec": args.clip_sec,
         "backend": jax.default_backend(),
