@@ -1,0 +1,10 @@
+"""Shim: reference path ``edge/rain_frame_classifier.py``."""
+
+from audio_processing_tools_tpu.models.frame_classifier import (  # noqa: F401
+    FrameClass,
+    detect_rain_over_time,
+    rain_frame_decision,
+)
+from audio_processing_tools_tpu.ops.trackers import (  # noqa: F401
+    causal_low_quantile_baseline as causal_stochastic_low_quantile_baseline,
+)

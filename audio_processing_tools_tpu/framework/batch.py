@@ -43,6 +43,33 @@ __all__ = [
 ]
 
 
+def _log_memory_usage(prefix: str = "") -> None:
+    """RSS of main + child processes via psutil
+    (``audio_processing_framework.py:348-370``)."""
+    try:
+        import os as _os
+
+        import psutil
+    except ImportError:
+        print(f"{prefix} psutil not available for memory logging")
+        return
+    try:
+        proc = psutil.Process(_os.getpid())
+        main_mb = proc.memory_info().rss / 1024**2
+        child_mb = 0.0
+        for c in proc.children(recursive=True):
+            try:
+                child_mb += c.memory_info().rss / 1024**2
+            except Exception:
+                pass
+        print(
+            f"{prefix} memory: main={main_mb:.1f} MB  children={child_mb:.1f} MB"
+            f"  total={main_mb + child_mb:.1f} MB"
+        )
+    except Exception as e:
+        print(f"{prefix} memory logging failed: {e}")
+
+
 def _extract_param_updates(obj: Any) -> Dict[str, Any]:
     """``_param_updates`` convention (``audio_processing_framework.py:102-115``)."""
     if not isinstance(obj, dict):
@@ -226,6 +253,7 @@ def process_audio_batches_v2(
     rain_min_thr = debug_params.get(
         "rain_drop_min_thr", params_global.get("rain_drop_min_thr")
     )
+    log_memory = bool(debug_params.get("log_memory", False))
     device_batch = bool(debug_params.get("device_batch", True)) and all(
         hasattr(p, "run_batch") for p in processors
     )
@@ -272,6 +300,9 @@ def process_audio_batches_v2(
             results_rows.append(row)
             for pn, st in item["states"].items():
                 states_by_processor[pn].append(st)
+
+        if log_memory:
+            _log_memory_usage(prefix=f"[batch {batch_idx}]")
 
         if (save_dir_path is not None and max_batch_save > 0
                 and len(results_rows) >= max_batch_save):

@@ -486,6 +486,7 @@ def _roe_traced(audio: jnp.ndarray, cfg: RoeConfig, n_samples: int
         rain_peaks_count = final_mod
 
     merged["rain_drop_count"] = final_count
+    merged["rain_drop_count_raw"] = rdc  # pre-combiner count (dsp_integ wrapper)
     merged["rain_peaks_count"] = rain_peaks_count
     merged["rain_drop_count_mod"] = final_mod
     merged["frain_mean"] = frain_mean
