@@ -36,6 +36,7 @@ from audio_processing_tools_tpu.ops.stft import (
     frames_to_time,
 )
 from audio_processing_tools_tpu.ops.filters import sosfiltfilt
+from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
 from audio_processing_tools_tpu.ops.trackers import (
     noise_psd_track,
     make_psd_params,
@@ -185,8 +186,19 @@ class SpectralNoiseEngine:
             if sos is not None:
                 x_proc = sosfiltfilt(sos, x)
 
-        S = stft(x, n_fft=cfg.n_fft, hop=cfg.hop, center=True)
-        P = (S.real**2 + S.imag**2).astype(jnp.float32)
+        # The complex STFT is only needed when spectra / reconstructed audio
+        # leave the engine; the pure detector/metrics path uses the fused
+        # Pallas spectrogram kernel (power only) on TPU.
+        needs_complex = bool(
+            cfg.return_spectra or cfg.compute_output_audio
+            or cfg.return_filtered_audio
+        )
+        if needs_complex:
+            S = stft(x, n_fft=cfg.n_fft, hop=cfg.hop, center=True)
+            P = (S.real**2 + S.imag**2).astype(jnp.float32)
+        else:
+            S = None
+            P = spectrogram_power(x, n_fft=cfg.n_fft, hop=cfg.hop, center=True)
         freqs = fft_frequencies(sr, cfg.n_fft)
         F, T = P.shape
 
@@ -311,7 +323,7 @@ class SpectralNoiseEngine:
         if cfg.suppressor_bypass:
             noise_psd = jnp.zeros_like(P)
             G = jnp.ones_like(P)
-            S_hat = S
+            S_hat = S  # None when the complex STFT was skipped
             y = x_proc if cfg.compute_output_audio else None
         else:
             noise_psd = estimate_noise_psd(P, is_rain_for_psd)
@@ -345,7 +357,7 @@ class SpectralNoiseEngine:
             G_band = compute_gain(cfg, P_band_all, N_eff, noise_conf, snr_gate)
             G = jnp.ones_like(P)
             G = G.at[band_rows, :].set(G_band)
-            S_hat = G * S
+            S_hat = G * S if S is not None else None
             if cfg.compute_output_audio:
                 y = istft(S_hat, n_fft=cfg.n_fft, hop=cfg.hop,
                           length=x.shape[-1], center=True)

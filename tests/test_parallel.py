@@ -1,0 +1,83 @@
+"""Sharded pipeline tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+from audio_processing_tools_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    ShardedRainPipeline,
+)
+
+FS = 11162
+PARAMS = {
+    "sample_rate": FS,
+    "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+    "clip_rain_min_frames": 2,
+}
+
+
+def _rain_clip(rng, n):
+    x = 0.005 * rng.standard_normal(n)
+    for t0 in rng.integers(FS // 4, n - 2000, 10):
+        k = np.arange(800)
+        ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                   for f, a in [(520, 1), (900, 0.5), (1600, 0.35), (2450, 0.25)])
+        x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+    return x.astype(np.float32)
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("files",)
+    with pytest.raises(ValueError):
+        make_mesh(1000)
+
+
+def test_sharded_step_matches_engine(rng):
+    n = FS  # 1-second clips for speed
+    clips = np.stack(
+        [_rain_clip(rng, n) for _ in range(4)]
+        + [(0.02 * rng.standard_normal(n)).astype(np.float32) for _ in range(4)]
+    )
+    mesh = make_mesh(8)
+    pipe = ShardedRainPipeline(PARAMS, mesh)
+    out = pipe.step(clips)
+
+    fc = np.asarray(out["per_clip"]["frame_class"])
+    assert fc.shape[0] == 8
+    agg = {k: int(np.asarray(v)) if np.asarray(v).ndim == 0 else v
+           for k, v in out["aggregates"].items()}
+    assert agg["total_clips"] == 8
+
+    # sharded result == unsharded engine result
+    from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
+
+    eng = SpectralNoiseEngine()
+    eng.setup(dict(PARAMS))
+    for i in (0, 5):
+        ref = eng.process(clips[i])
+        np.testing.assert_array_equal(fc[i], ref["frame_class"])
+
+    # aggregate equals the fold of per-clip counts
+    counts = np.asarray(out["per_clip"]["rain_frame_count"])
+    assert agg["total_rain_frames"] == int(counts.sum())
+
+
+def test_sharded_step_pads_ragged_batch(rng):
+    n = FS
+    clips = np.stack([_rain_clip(rng, n) for _ in range(5)])  # 5 % 8 != 0
+    mesh = make_mesh(8)
+    pipe = ShardedRainPipeline(PARAMS, mesh)
+    out = pipe.run_corpus(clips, batch=8)
+    assert out["aggregates"]["total_clips"] == 5
+    assert out["per_clip"]["frame_class"].shape[0] == 5
+
+
+def test_shard_batch_places_on_mesh(rng):
+    mesh = make_mesh(4)
+    xb = shard_batch(np.zeros((8, 256), np.float32), mesh)
+    assert xb.sharding.num_devices == 4
