@@ -244,3 +244,129 @@ def causal_time_mean(X: jnp.ndarray, L: int) -> jnp.ndarray:
     )[..., :T]
     count = jnp.asarray(np.minimum(np.arange(T) + 1, L), dtype=X.dtype)
     return (csum - shifted) / count
+
+
+# ---------------------------------------------------------------------------
+# Carry-in/out variants for streaming chunked inference
+# ---------------------------------------------------------------------------
+
+
+def baseline_carry_init(x0: jnp.ndarray, floor: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Initial (baseline, scale) carry from the first sample."""
+    floor = float(max(floor, 1e-12))
+    return (jnp.maximum(x0, floor), jnp.maximum(jnp.abs(x0), floor))
+
+
+def causal_low_quantile_baseline_chunk(
+    x: jnp.ndarray,
+    carry: Tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    q_percent: float,
+    samples_per_sec: float,
+    win_sec: float,
+    floor: float = 1e-6,
+):
+    """One chunk of the causal baseline tracker with explicit carry.
+
+    Semantics identical to :func:`causal_low_quantile_baseline` when the
+    carry is threaded across consecutive chunks (the emitted baseline at t is
+    the pre-ingest estimate).  Returns ``(baseline, new_carry)``.
+    """
+    q = float(np.clip(q_percent, 0.0, 100.0)) / 100.0
+    floor = float(max(floor, 1e-12))
+    sps = float(max(samples_per_sec, 1e-6))
+    W = max(3, int(round(float(win_sec) * sps)))
+    eta = float(np.clip(2.0 / max(W + 1, 2), 1e-4, 1.0))
+    scale_alpha = float(np.clip(1.0 - eta, 0.0, 0.9999))
+
+    x = x.astype(jnp.float32)
+    xT = jnp.moveaxis(x, -1, 0)
+
+    def step(c, xt):
+        baseline, scale = c
+        out = baseline
+        err = xt - baseline
+        scale = scale_alpha * scale + (1.0 - scale_alpha) * jnp.abs(err)
+        step_sz = eta * jnp.maximum(scale, floor)
+        delta = jnp.where(xt >= baseline, q * step_sz, -(1.0 - q) * step_sz)
+        baseline = jnp.maximum(baseline + delta, floor)
+        return (baseline, scale), out
+
+    new_carry, outs = jax.lax.scan(step, carry, xT)
+    baseline = jnp.moveaxis(outs, 0, -1)
+    baseline = jnp.maximum(
+        jnp.nan_to_num(baseline, nan=floor, posinf=floor, neginf=floor), floor
+    )
+    return baseline, new_carry
+
+
+def psd_carry_init(first_band_frame: jnp.ndarray, params: PsdTrackParams):
+    """Initial PSD-tracker carry from the first band frame."""
+    step_floor = float(max(params.eps, 1e-9))
+    first = first_band_frame.astype(jnp.float32)
+    return (
+        jnp.maximum(first, 0.0),                      # tracker
+        jnp.maximum(jnp.abs(first), step_floor),      # tracker_scale
+        jnp.zeros_like(first),                        # prev_N
+        jnp.zeros(first.shape[:-1], jnp.int32),       # warmup_count
+        jnp.zeros(first.shape[:-1], jnp.float32),     # rain_prev_ema
+        jnp.asarray(True),                            # is_first flag
+    )
+
+
+def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
+                          carry, params: PsdTrackParams):
+    """One chunk of the PSD tracker with explicit carry.
+
+    ``carry`` from :func:`psd_carry_init` (or a previous chunk).  Threading
+    carries across chunks reproduces :func:`noise_psd_track` on the
+    concatenated signal.  Returns ``(N_band, new_carry)``.
+    """
+    p = params
+    eta = float(np.clip(2.0 / max(p.W + 1, 2), 1e-4, 1.0))
+    scale_alpha = float(p.ema_down)
+    step_floor = float(max(p.eps, 1e-9))
+    warmup_need = max(10, p.W // 2)
+
+    P_band = P_band.astype(jnp.float32)
+    PT = jnp.moveaxis(P_band, -1, 0)
+    rT = jnp.moveaxis(is_rain.astype(bool), -1, 0)
+
+    def step(carry_in, inp):
+        tracker, scale, prev_N, wcount, rain_ema, is_first = carry_in
+        Pt, raint = inp
+        allow = (wcount < warmup_need) | (~raint)
+        allow_f = allow[..., None]
+
+        err = Pt - tracker
+        scale_new = scale_alpha * scale + (1.0 - scale_alpha) * jnp.abs(err)
+        step_sz = eta * jnp.maximum(scale_new, step_floor)
+        if p.adaptive_q_enable:
+            q_eff = p.q - (p.q - p.adaptive_q_min) * rain_ema
+            q_eff = jnp.clip(q_eff, p.adaptive_q_min, p.q)[..., None]
+        else:
+            q_eff = p.q
+        delta = jnp.where(Pt >= tracker, q_eff * step_sz, -(1.0 - q_eff) * step_sz)
+        candidate = jnp.maximum(tracker + delta, 0.0)
+        tracker_upd = jnp.where(allow_f, candidate, tracker)
+
+        tracker_new = jnp.where(is_first, tracker, tracker_upd)
+        scale_out = jnp.where(is_first, scale, scale_new)
+        raw_q = tracker_new
+
+        lam = jnp.where(raw_q > prev_N, p.ema_up, p.ema_down)
+        N_ema = lam * prev_N + (1.0 - lam) * raw_q
+        N = jnp.where(is_first, raw_q, N_ema)
+        N = jnp.minimum(N, p.maxr * Pt)
+        N = jnp.maximum(N, 0.0)
+
+        wcount_new = wcount + allow.astype(jnp.int32)
+        rain_ema_new = p.adaptive_q_alpha * rain_ema + (
+            1.0 - p.adaptive_q_alpha
+        ) * raint.astype(jnp.float32)
+        new_carry = (tracker_new, scale_out, N, wcount_new, rain_ema_new,
+                     jnp.asarray(False))
+        return new_carry, N
+
+    new_carry, Ns = jax.lax.scan(step, carry, (PT, rT))
+    return jnp.moveaxis(Ns, 0, -1), new_carry

@@ -108,6 +108,19 @@ def main() -> None:
         if rate > best_rate:
             best_rate, best_B = rate, B
 
+    # secondary primary metric (BASELINE.md): p50 per-file latency (B=1)
+    pcm1 = jnp.asarray((rng.standard_normal((1, clip_len)) * 2000).astype(np.int16))
+    r = step(jax.device_put(pcm1))
+    np.asarray(r["rain_frame_count"])
+    lats = []
+    for _ in range(5 if not args.quick else 2):
+        t0 = time.perf_counter()
+        r = step(jax.device_put(pcm1))
+        np.asarray(r["rain_frame_count"])
+        lats.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lats) * 1000)
+    print(f"# p50 per-file latency: {p50_ms:.1f} ms", file=sys.stderr)
+
     print(json.dumps({
         "metric": "audio-hours/hour/chip (decode->STFT->rain features)",
         "value": round(best_rate, 1),
@@ -115,6 +128,7 @@ def main() -> None:
         "vs_baseline": round(best_rate / 500.0, 3),
         "batch": best_B,
         "clip_sec": args.clip_sec,
+        "p50_file_latency_ms": round(p50_ms, 1),
         "backend": jax.default_backend(),
     }))
 

@@ -140,3 +140,116 @@ def noise_psd_track_loop(P_band, is_rain, W, q, ema_up, ema_down, eps=1e-9,
         out[:, t] = N
         prev_N = N
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full spectral-engine classifier oracle (default config path)
+# ---------------------------------------------------------------------------
+
+
+def spectral_engine_oracle(x, fs=11162, mode_bands=((450.0, 650.0), (800.0, 1050.0),
+                                                    (1500.0, 1800.0), (2350.0, 2550.0),
+                                                    (3150.0, 3350.0))):
+    """End-to-end loop oracle of the default detector path of
+    SpectralNoiseProcessor.process + _detect_rain_over_time:
+
+      stft -> detector PSD normalization (all-frames tracker, lagged, log_sub)
+      -> TD features on highpass-filtered audio -> t-vs-t-2 mode flux
+      -> causal low-quantile normalization -> TD gate -> log1p decision.
+
+    Pure NumPy/scipy float64.  Returns dict of per-frame arrays.
+    """
+    import scipy.signal as spsig
+    import scipy.stats
+
+    x = np.asarray(x, np.float64)
+    n_fft, hop = 256, 128
+    eps = 1e-9
+    op_lo, op_hi = 400.0, 3500.0
+
+    S = stft_librosa(x, n_fft, hop)
+    P = np.abs(S) ** 2
+    F, T = P.shape
+    freqs = np.linspace(0, fs / 2, F)
+    band = (freqs >= op_lo) & (freqs <= op_hi)
+    fps = fs / hop
+
+    # detector noise PSD over band rows, all frames treated as noise
+    W = max(10, int(0.5 * fps))
+    N_band = noise_psd_track_loop(P[band].astype(np.float32),
+                                  np.zeros(T, bool), W=W, q=0.25,
+                                  ema_up=0.6, ema_down=0.95)
+    N_full = np.zeros_like(P)
+    N_full[band] = N_band
+    N_lag = np.roll(N_full, 1, axis=1)
+    N_lag[:, 0] = N_full[:, 0]
+    N_lag = np.minimum(N_lag, P)
+
+    P_masked = P.copy()
+    P_masked[~band] = 0.0
+    P_det = 10 * np.log10(P_masked + eps) - 10 * np.log10(N_lag + eps)
+    P_det_band = P_det[band]
+    freqs_band = freqs[band]
+
+    # TD features on highpass(350, order 4) filtfilt audio
+    sos = spsig.butter(4, np.clip(350 / (fs / 2), 1e-4, 0.9999), "highpass",
+                       output="sos")
+    x_td = spsig.sosfiltfilt(sos, x)
+    T_td = 1 + (x_td.size - n_fft) // hop
+    td_crest = np.zeros(T)
+    td_kurt = np.zeros(T)
+    for t in range(min(T_td, T)):
+        seg = x_td[t * hop : t * hop + n_fft]
+        rms = np.sqrt(np.mean(seg**2) + eps)
+        td_crest[t] = np.max(np.abs(seg)) / max(rms, eps)
+        kv = scipy.stats.kurtosis(seg, fisher=False, bias=False)
+        td_kurt[t] = kv if np.isfinite(kv) else 0.0
+
+    # flux: positive t vs t-2 rise, per mode band (frames 0,1 zero)
+    masks = [ (freqs_band >= lo) & (freqs_band <= hi) for lo, hi in mode_bands ]
+    n_modes = len(mode_bands)
+    mode_flux = np.zeros((n_modes, T))
+    for t in range(2, T):
+        d2 = np.maximum(P_det_band[:, t] - P_det_band[:, t - 2], 0.0)
+        for i, m in enumerate(masks):
+            mode_flux[i, t] = d2[m].sum()
+
+    norm_flux = np.zeros_like(mode_flux)
+    for i in range(n_modes):
+        base, _ = causal_low_quantile_baseline_loop(
+            mode_flux[i].astype(np.float32), 20.0, fps, 0.5, floor=1.0
+        )
+        excess = np.maximum(mode_flux[i] - base, 0.0)
+        norm_flux[i] = np.nan_to_num(excess / (base + 1.0), nan=0, posinf=0,
+                                     neginf=0)
+
+    gate = td_crest > 2.5
+    g = gate.astype(np.float64)
+    f0 = np.log1p(np.maximum(norm_flux[0] * g, 0))
+    f1 = np.log1p(np.maximum(norm_flux[1] * g, 0))
+    f2 = np.log1p(np.maximum(norm_flux[2] * g, 0))
+    f3 = np.log1p(np.maximum(norm_flux[3] * g, 0))
+    hits = (f1 >= 2.6).astype(int) + (f2 >= 2.6).astype(int) + (f3 >= 3.0).astype(int)
+    is_rain = (f0 >= 1.8) & (hits >= 2)
+
+    # combined-mode flux score for NOISE assignment
+    flux_modes = mode_flux.sum(axis=0)
+    base_all, _ = causal_low_quantile_baseline_loop(
+        flux_modes.astype(np.float32), 20.0, fps, 0.5, floor=1.0
+    )
+    score = np.nan_to_num(np.maximum(flux_modes - base_all, 0) / (base_all + 1.0))
+    weak = (score * g) <= 1.5
+    noise_conf = 1.0 - is_rain.astype(np.float64)
+    frame_class = np.full(T, 1, np.int8)
+    frame_class[(noise_conf >= 0.80) & weak & (~is_rain)] = 0
+    frame_class[is_rain] = 2
+
+    return {
+        "frame_class": frame_class,
+        "is_rain": is_rain,
+        "td_crest": td_crest,
+        "td_gate": gate,
+        "mode_flux": mode_flux,
+        "normalized_mode_flux": norm_flux,
+        "P_det_band": P_det_band,
+    }

@@ -1,0 +1,77 @@
+"""Streaming chunked inference: chunk invariance + detection behavior."""
+
+import numpy as np
+import jax
+import pytest
+
+from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+from audio_processing_tools_tpu.models.streaming import StreamingRainDetector
+from audio_processing_tools_tpu.models.frame_classifier import FrameClass
+
+FS = 11162
+PARAMS = {"sample_rate": FS, "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)}}
+
+
+def _rain(rng, n=FS * 6):
+    x = 0.005 * rng.standard_normal(n)
+    for t0 in rng.integers(FS, n - 2000, 30):
+        k = np.arange(800)
+        ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                   for f, a in [(520, 1), (900, 0.5), (1600, 0.35), (2450, 0.25)])
+        x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+    return x.astype(np.float32)
+
+
+def _run_chunked(det, x, chunk_len):
+    state = det.init_state()
+    outs = []
+    usable = x.size // 128 * 128
+    for s in range(0, usable, chunk_len):
+        piece = x[s : min(s + chunk_len, usable)]
+        piece = piece[: piece.size // 128 * 128]
+        if piece.size == 0:
+            break
+        state, out = det.process_chunk(state, piece)
+        outs.append(jax.tree_util.tree_map(np.asarray, out))
+    return np.concatenate([o["frame_class"] for o in outs]), np.concatenate(
+        [o["rain_conf"] for o in outs]
+    )
+
+
+def test_chunk_invariance(rng):
+    """Any chunking yields identical outputs (explicit carries)."""
+    x = _rain(rng)
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    usable = x.size // 128 * 128
+    fc_one, rc_one = _run_chunked(det, x, usable)       # one big chunk
+    fc_2s, rc_2s = _run_chunked(det, x, FS * 2 // 128 * 128)
+    fc_small, rc_small = _run_chunked(det, x, 128 * 7)  # odd small chunks
+    np.testing.assert_array_equal(fc_one, fc_2s)
+    np.testing.assert_array_equal(fc_one, fc_small)
+    np.testing.assert_allclose(rc_one, rc_2s, atol=1e-6)
+
+
+def test_streaming_detects_rain(rng):
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    out = det.process_stream(_rain(rng))
+    rain_frames = int((out["frame_class"] == FrameClass.RAIN).sum())
+    assert rain_frames >= 5
+    out_noise = StreamingRainDetector()
+    out_noise.setup(dict(PARAMS))
+    res = out_noise.process_stream(
+        (0.02 * rng.standard_normal(FS * 6)).astype(np.float32)
+    )
+    assert int((res["frame_class"] == FrameClass.RAIN).sum()) <= 2
+    # timestamps are continuous across chunks
+    t = out["times"]
+    np.testing.assert_allclose(np.diff(t), 128 / FS, atol=1e-6)
+
+
+def test_chunk_length_validation(rng):
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    state = det.init_state()
+    with pytest.raises(ValueError):
+        det.process_chunk(state, np.zeros(100, np.float32))
