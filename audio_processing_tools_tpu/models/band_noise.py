@@ -595,3 +595,55 @@ class BandNoiseEstimatorProcessor:
         state["processor"] = self.name
         state["latency_s"] = latency
         return metrics, state
+
+    def run_batch(self, audio_matrix: np.ndarray, params: Dict[str, Any]
+                  ) -> list:
+        """Device-batched path: vmapped streaming estimator over (B, N)."""
+        import time as _time
+
+        audio_matrix = np.asarray(audio_matrix, np.float32)
+        B = audio_matrix.shape[0]
+        hop = int(params.get("hop", params.get("frame_len", 512)))
+        frame_len = int(params.get("frame_len", 512))
+        if hop != frame_len:
+            raise ValueError(
+                f"hop ({hop}) must equal frame_len ({frame_len}): the "
+                "estimator streams IIR state across contiguous frames"
+            )
+        cfg = build_band_noise_config(params)
+
+        t0 = _time.perf_counter()
+        out = jax.vmap(lambda x: band_noise_process(x, cfg))(
+            jnp.asarray(audio_matrix)
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        latency = (_time.perf_counter() - t0) / max(B, 1)
+
+        pairs = []
+        T = out["E_band"].shape[1]
+        for i in range(B):
+            row = {k: v[i] for k, v in out.items()}
+            metrics: Dict[str, Any] = {
+                "n_frames": T,
+                "median_E_band": float(np.median(row["E_band"])) if T else 0.0,
+                "median_N_E": float(np.median(row["N_E"])) if T else 0.0,
+                "median_G_mag": float(np.median(row["G_mag"])) if T else 0.0,
+                "median_M_clean": float(np.median(row["M_clean"])) if T else 0.0,
+                "fft_rain_frac": float(row["fft_rain_frame"].mean()) if T else 0.0,
+                "rain_submask_frac": float(row["rain_submask"].mean()) if T else 0.0,
+                "latency_s": latency,
+            }
+            for k in ("noise_energy_sum", "rain_energy_sum", "total_energy_sum",
+                      "noise_frame_count", "rain_frame_count",
+                      "total_frame_count", "noise_buffer_valid_count",
+                      "noise_buffer_min_valid_count",
+                      "noise_buffer_underflow_frame_count",
+                      "frames_since_noise_update",
+                      "noise_learned_subframe_count", "noise_replenish_count",
+                      "noise_effective_q"):
+                metrics[f"energy_stats__{k}"] = float(row[k][-1]) if T else 0.0
+            state = dict(row)
+            state["processor"] = self.name
+            state["latency_s"] = latency
+            pairs.append((metrics, state))
+        return pairs

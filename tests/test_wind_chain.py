@@ -1,0 +1,110 @@
+"""Wind/gust analysis tools + multi-processor orchestrator chain."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from audio_processing_tools_tpu.models.wind import (
+    detect_gusts,
+    compare_novelties,
+    novelty_based_gust_detection,
+    compute_rain_mod,
+    analyze_energy_peaks,
+)
+from audio_processing_tools_tpu.ops.stft import stft
+
+FS = 11162
+
+
+def _gusty(rng, n=FS * 4):
+    """Low-frequency swelling 'wind' + background noise."""
+    t = np.arange(n) / FS
+    swell = (1 + np.sin(2 * np.pi * 0.4 * t)) ** 2
+    x = 0.02 * rng.standard_normal(n) + 0.3 * swell * np.sin(2 * np.pi * 250 * t)
+    return x.astype(np.float32)
+
+
+def test_detect_gusts(rng):
+    x = _gusty(rng)
+    mag = np.abs(np.asarray(stft(jnp.asarray(x))))
+    gust_times, w_raw, r_raw, w_t, r_t = detect_gusts(mag, FS)
+    T = mag.shape[1] + 1
+    assert w_raw.shape == (T,) and r_raw.shape == (T,)
+    assert w_raw.mean() >= 0
+    comp = compare_novelties(w_raw, r_raw, w_raw > 10, r_raw > 5)
+    assert set(comp) >= {"wind_raw_max", "rain_spike_count", "overlap_spikes"}
+    state = novelty_based_gust_detection(mag, FS)
+    assert "gust_time" in state and "novelty_comparison" in state
+
+
+def test_compute_rain_mod():
+    nov_rain = np.array([0.0, 10.0, 20.0, 5.0])
+    nov_gust = np.array([0.0, 2.0, 0.0, 10.0])
+    raining = np.array([1.0, 1.0, 1.0, 1.0])
+    out = compute_rain_mod(nov_rain, nov_gust, raining, rain_thr=4.0)
+    # frame1: ratio 5 >= 4 -> thr; frame2: no gust -> nov_rain*raining=20 -> thr
+    # frame3: ratio 0.5 < 4 -> 0; frame0: 0
+    np.testing.assert_array_equal(out, [0.0, 4.0, 4.0, 0.0])
+
+
+def test_analyze_energy_peaks(rng):
+    n = FS * 2
+    # uniform noise: block energies concentrate tightly around their mean, so
+    # the 1.2x-local-min rise/decay walk terminates quickly (the algorithm
+    # assumes the local minimum is representative of the inter-pulse floor)
+    x = 0.02 * rng.uniform(-1.0, 1.0, n)
+    for t0 in (5000, 12000):
+        k = np.arange(150)
+        x[t0 : t0 + 150] += 1.5 * np.exp(-k / 12.0) * np.sin(2 * np.pi * 500 * k / FS)
+    pulses, energy, efs = analyze_energy_peaks(x.astype(np.float32), FS)
+    assert efs == FS / 48
+    assert len(pulses) >= 1
+    times = [p["peak_time_ms"] for p in pulses]
+    assert any(abs(t - 5000 / FS * 1000) < 30 for t in times)
+    for p in pulses:
+        assert p["pulse_time"] <= 50
+
+
+def test_multiprocessor_chain_device_batch(tmp_path, rng):
+    """Rain detector + band-noise estimator chained, both device-batched."""
+    from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+    from audio_processing_tools_tpu.framework import process_audio_batches_v2
+    from audio_processing_tools_tpu.models.spectral_noise import RainDetectorProcessor
+    from audio_processing_tools_tpu.models.band_noise import (
+        BandNoiseEstimatorProcessor,
+    )
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i, label in enumerate(["true", "false"]):
+        x = 0.01 * rng.standard_normal(FS * 2)
+        if label == "true":
+            for t0 in rng.integers(FS // 4, FS * 2 - 2000, 15):
+                k = np.arange(800)
+                ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                           for f, a in [(520, 1), (900, .5), (1600, .35), (2450, .25)])
+                x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+        pcm = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+        (d / f"c{i}_{label}.bin").write_bytes(
+            write_mark_audio_file(pcm, sample_rate=FS)
+        )
+
+    results, states = process_audio_batches_v2(
+        processors=[
+            RainDetectorProcessor(name="rain_detector"),
+            BandNoiseEstimatorProcessor(name="band_noise"),
+        ],
+        params_global={
+            "sample_rate": FS, "check_duration": 2.0,
+            "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+            "clip_rain_min_frames": 3,
+        },
+        InputType="LocalPath", test_vector_path=str(d), batch_save_dir=None,
+    )
+    assert "rain_detector__clip_is_rain" in results.columns
+    assert "band_noise__median_N_E" in results.columns
+    by_key = results.set_index("file_key")
+    for fk, row in by_key.iterrows():
+        assert bool(row["rain_detector__clip_is_rain"]) == ("true" in fk)
+    assert set(states) == {"rain_detector", "band_noise"}
