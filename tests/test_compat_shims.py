@@ -111,3 +111,53 @@ def test_tuning_viz_results_loading(tmp_path):
     add_derived_metrics(df)
     assert abs(df["true_positive_rate"].iloc[0] - 2 / 3) < 1e-9
     assert df["true_negative_rate"].iloc[0] == 1.0
+
+
+def test_dsp_integ_two_pass(rng):
+    import numpy as np
+    from audio_processing_tools_tpu.tuning.dsp_integ import (
+        analyse_raw_audio_wrapper, sample_classifier_to_evaluate,
+    )
+
+    FS = 11162
+    n = FS * 4
+    # quiet noise: first window under threshold, second window also quiet
+    noise = (0.01 * rng.standard_normal(n)).astype(np.float32)
+    count, _ = analyse_raw_audio_wrapper(noise, sample_rate=FS)
+    assert count == 0
+    assert sample_classifier_to_evaluate(noise, sample_rate=FS) is False
+
+    # harmonic rain across both windows: either first-pass pass or combined
+    x = 0.003 * rng.standard_normal(n)
+    for t0 in rng.integers(0, n - 1200, 40):
+        k = np.arange(1000)
+        ping = sum((1.0 / h) * np.sin(2 * np.pi * 500 * h * k / FS)
+                   for h in range(1, 6))
+        x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+    count_r, frain = analyse_raw_audio_wrapper(
+        x.astype(np.float32), sample_rate=FS,
+        op_freq_range=[400, 3500], n_freq_range=[400, 700],
+        harmonic_threshold=[4.5, 4, 3.5, 3.5, 3.5, 3.5],
+    )
+    assert count_r > 0
+    assert sample_classifier_to_evaluate(
+        x.astype(np.float32), sample_rate=FS,
+        op_freq_range=[400, 3500], n_freq_range=[400, 700],
+        harmonic_threshold=[4.5, 4, 3.5, 3.5, 3.5, 3.5],
+    ) is True
+
+
+def test_profiling_utils():
+    import time
+
+    from audio_processing_tools_tpu.utils import Timer, timed
+
+    t = Timer()
+    with t.section("a"):
+        time.sleep(0.01)
+    with t.section("a"):
+        pass
+    rep = t.report()
+    assert rep["a"]["count"] == 2 and rep["a"]["total_s"] > 0.005
+    out, dt = timed(lambda v: v * 2, 21)
+    assert out == 42 and dt >= 0
