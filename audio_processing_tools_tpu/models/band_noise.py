@@ -538,6 +538,60 @@ def build_band_noise_config(params: Dict[str, Any]) -> BandNoiseEstimatorConfig:
     return cfg
 
 
+
+_TELEMETRY_KEYS = (
+    "noise_energy_sum", "rain_energy_sum", "total_energy_sum",
+    "noise_frame_count", "rain_frame_count", "total_frame_count",
+    "noise_buffer_valid_count", "noise_buffer_min_valid_count",
+    "noise_buffer_underflow_frame_count", "frames_since_noise_update",
+    "noise_learned_subframe_count", "noise_replenish_count",
+    "noise_effective_q",
+)
+
+
+def _summarize_frames(row: Dict[str, np.ndarray], name: str, mode: str,
+                      latency: float) -> Dict[str, Any]:
+    """Per-clip summary with the reference adapter's result keys
+    (``edge/band_noise_processor.py:237-248``) plus framework extras."""
+    T = int(row["E_band"].shape[0])
+    med = lambda k: float(np.median(row[k])) if T else float("nan")
+    metrics: Dict[str, Any] = {
+        "processor": name,
+        "mode": mode,
+        "n_frames": T,
+        "M_clean_med": med("M_clean"),
+        "noise_E_med": med("N_E"),
+        "gain_med": med("G_mag"),
+        "noise_effective_q_last": (
+            float(row["noise_effective_q"][-1]) if T else float("nan")
+        ),
+        "noise_effective_q_med": med("noise_effective_q"),
+        "fft_rain_frac": (
+            float(row["fft_rain_frame"].mean()) if T else float("nan")
+        ),
+        # framework extras
+        "median_E_band": med("E_band"),
+        "median_N_E": med("N_E"),
+        "median_G_mag": med("G_mag"),
+        "median_M_clean": med("M_clean"),
+        "rain_submask_frac": float(row["rain_submask"].mean()) if T else 0.0,
+        "latency_s": latency,
+    }
+    # final telemetry snapshot (read-at-end semantics) incl. derived means
+    tele = {k: (float(row[k][-1]) if T else 0.0) for k in _TELEMETRY_KEYS}
+    tele["noise_energy_mean"] = tele["noise_energy_sum"] / max(
+        1, int(tele["noise_frame_count"])
+    )
+    tele["rain_energy_mean"] = tele["rain_energy_sum"] / max(
+        1, int(tele["rain_frame_count"])
+    )
+    tele["total_energy_mean"] = tele["total_energy_sum"] / max(
+        1, int(tele["total_frame_count"])
+    )
+    metrics.update({f"energy_stats__{k}": v for k, v in tele.items()})
+    return metrics
+
+
 class BandNoiseEstimatorProcessor:
     """Framework processor over the streaming estimator.
 
@@ -546,8 +600,9 @@ class BandNoiseEstimatorProcessor:
     medians + detector fractions + final telemetry.
     """
 
-    def __init__(self, name: str = "band_noise"):
+    def __init__(self, name: str = "band_noise", mode: str = "band_noise"):
         self.name = name
+        self.mode = mode  # kept for backward compatibility with result rows
 
     def run(self, audio_data: np.ndarray, params: Dict[str, Any]
             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -568,28 +623,7 @@ class BandNoiseEstimatorProcessor:
         out = jax.tree_util.tree_map(np.asarray, out)
         latency = _time.perf_counter() - t0
 
-        T = out["E_band"].shape[0]
-        fft_frac = float(out["fft_rain_frame"].mean()) if T else 0.0
-        metrics: Dict[str, Any] = {
-            "n_frames": T,
-            "median_E_band": float(np.median(out["E_band"])) if T else 0.0,
-            "median_N_E": float(np.median(out["N_E"])) if T else 0.0,
-            "median_G_mag": float(np.median(out["G_mag"])) if T else 0.0,
-            "median_M_clean": float(np.median(out["M_clean"])) if T else 0.0,
-            "fft_rain_frac": fft_frac,
-            "rain_submask_frac": float(out["rain_submask"].mean()) if T else 0.0,
-            "latency_s": latency,
-        }
-        # final telemetry snapshot (read-at-end semantics)
-        for k in ("noise_energy_sum", "rain_energy_sum", "total_energy_sum",
-                  "noise_frame_count", "rain_frame_count", "total_frame_count",
-                  "noise_buffer_valid_count", "noise_buffer_min_valid_count",
-                  "noise_buffer_underflow_frame_count",
-                  "frames_since_noise_update", "noise_learned_subframe_count",
-                  "noise_replenish_count", "noise_effective_q"):
-            metrics[f"energy_stats__{k}"] = (
-                float(out[k][-1]) if T else 0.0
-            )
+        metrics = _summarize_frames(out, self.name, self.mode, latency)
 
         state: Dict[str, Any] = dict(out)
         state["processor"] = self.name
@@ -620,28 +654,9 @@ class BandNoiseEstimatorProcessor:
         latency = (_time.perf_counter() - t0) / max(B, 1)
 
         pairs = []
-        T = out["E_band"].shape[1]
         for i in range(B):
             row = {k: v[i] for k, v in out.items()}
-            metrics: Dict[str, Any] = {
-                "n_frames": T,
-                "median_E_band": float(np.median(row["E_band"])) if T else 0.0,
-                "median_N_E": float(np.median(row["N_E"])) if T else 0.0,
-                "median_G_mag": float(np.median(row["G_mag"])) if T else 0.0,
-                "median_M_clean": float(np.median(row["M_clean"])) if T else 0.0,
-                "fft_rain_frac": float(row["fft_rain_frame"].mean()) if T else 0.0,
-                "rain_submask_frac": float(row["rain_submask"].mean()) if T else 0.0,
-                "latency_s": latency,
-            }
-            for k in ("noise_energy_sum", "rain_energy_sum", "total_energy_sum",
-                      "noise_frame_count", "rain_frame_count",
-                      "total_frame_count", "noise_buffer_valid_count",
-                      "noise_buffer_min_valid_count",
-                      "noise_buffer_underflow_frame_count",
-                      "frames_since_noise_update",
-                      "noise_learned_subframe_count", "noise_replenish_count",
-                      "noise_effective_q"):
-                metrics[f"energy_stats__{k}"] = float(row[k][-1]) if T else 0.0
+            metrics = _summarize_frames(row, self.name, self.mode, latency)
             state = dict(row)
             state["processor"] = self.name
             state["latency_s"] = latency

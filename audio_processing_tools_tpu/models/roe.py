@@ -394,6 +394,8 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
         "nov": nov,
         "novt": novt,
         "novk": novk,
+        "Nov0": nov[0],
+        "filtered": audio,
         "rain_status_new": rain_status_new,
         **t_res,
     }
@@ -441,7 +443,7 @@ def _roe_traced(audio: jnp.ndarray, cfg: RoeConfig, n_samples: int
     merged: Dict[str, Any] = {}
     concat_keys = ("raining", "kurtosis", "crest_factor", "diff_energy",
                    "energy_list", "min_energy", "times", "novt", "novk",
-                   "rain_status_new")
+                   "Nov0", "filtered", "rain_status_new")
     for k in concat_keys:
         merged[k] = jnp.concatenate([c[k] for c in chunks_out], axis=-1)
     merged["nov"] = jnp.concatenate([c["nov"] for c in chunks_out], axis=-1)
@@ -485,6 +487,7 @@ def _roe_traced(audio: jnp.ndarray, cfg: RoeConfig, n_samples: int
         final_count = final_mod
         rain_peaks_count = final_mod
 
+    merged["duration"] = jnp.float32(duration)
     merged["rain_drop_count"] = final_count
     merged["rain_drop_count_raw"] = rdc  # pre-combiner count (dsp_integ wrapper)
     merged["rain_peaks_count"] = rain_peaks_count
