@@ -1,0 +1,69 @@
+"""Mel filterbank parity (librosa Slaney semantics re-derived) + features."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from audio_processing_tools_tpu.ops.mel import (
+    hz_to_mel,
+    mel_to_hz,
+    mel_filterbank,
+    mel_spectrogram,
+    band_energies,
+)
+from audio_processing_tools_tpu.ops.stft import stft_power, fft_frequencies
+
+FS = 11162
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 200.0, 999.0, 1000.0, 2000.0, 5000.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-10)
+    # slaney scale: linear below 1 kHz (200/3 Hz per mel)
+    assert abs(hz_to_mel(200.0) - 3.0) < 1e-9
+    # htk variant
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f, htk=True), htk=True), f,
+                               rtol=1e-10)
+    assert abs(hz_to_mel(1000.0, htk=True) - 2595 * np.log10(1 + 1000 / 700)) < 1e-9
+
+
+def test_filterbank_properties():
+    fb = mel_filterbank(FS, 256, n_mels=24)
+    assert fb.shape == (24, 129)
+    assert (fb >= 0).all()
+    # every filter has support and triangles peak once
+    assert (fb.sum(axis=1) > 0).all()
+    # slaney normalization: approx constant-energy per channel in the
+    # well-covered region -> column sums roughly flat mid-band
+    col = fb.sum(axis=0)
+    mid = col[20:100]
+    assert mid.min() > 0.1 * mid.max()
+
+
+def test_mel_spectrogram_tone(rng):
+    t = np.arange(FS) / FS
+    x = np.sin(2 * np.pi * 520.0 * t).astype(np.float32)
+    M = np.asarray(mel_spectrogram(jnp.asarray(x), sr=FS, n_mels=40))
+    assert M.shape[0] == 40
+    # the peak mel channel's center frequency should be near 520 Hz
+    fb = mel_filterbank(FS, 256, 40)
+    freqs = fft_frequencies(FS, 256)
+    centers = (fb * freqs[None, :]).sum(1) / np.maximum(fb.sum(1), 1e-9)
+    peak_ch = int(M[:, M.shape[1] // 2].argmax())
+    assert abs(centers[peak_ch] - 520) < 120
+    # log variant finite
+    Ml = np.asarray(mel_spectrogram(jnp.asarray(x), sr=FS, log=True))
+    assert np.isfinite(Ml).all()
+
+
+def test_band_energies(rng):
+    x = (0.1 * rng.standard_normal(FS)).astype(np.float32)
+    P = stft_power(jnp.asarray(x))
+    freqs = fft_frequencies(FS, 256)
+    bands = ((400, 700), (800, 1050))
+    E = np.asarray(band_energies(P, freqs, bands))
+    assert E.shape[0] == 2
+    ref0 = np.asarray(P)[(freqs >= 400) & (freqs <= 700)].sum(0)
+    np.testing.assert_allclose(E[0], ref0, rtol=1e-5)
+    Edb = np.asarray(band_energies(P, freqs, bands, db=True))
+    np.testing.assert_allclose(Edb[0], 10 * np.log10(np.maximum(ref0, 1e-10)),
+                               rtol=1e-4)
