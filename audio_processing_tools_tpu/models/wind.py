@@ -186,3 +186,48 @@ def analyze_energy_peaks(audio_data, Fs: int = 11162, freq_band=(60, 1500),
         })
         used[start_idx : end_idx + 1] = True
     return results, energy, energy_fs
+
+
+def compute_novelty_energy(x, Fs: float = 1, N: int = 512, H: int = 256,
+                           gamma: float = 10, norm: bool = True
+                           ) -> Tuple[np.ndarray, float]:
+    """Energy-based novelty function (``dsp_rain_detection.py:1849-1888``):
+    hann^2-smoothed local energy, optional log compression, positive diff,
+    max-normalized then rescaled by the max energy."""
+    x = np.asarray(x, np.float64)
+    k = np.arange(N)
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * k / (N - 1))  # symmetric hann
+    energy_local = np.convolve(x**2, w**2, "same")[::H]
+    fs_feature = Fs / H
+    max_energy = energy_local.max() if energy_local.size else 0.0
+    if gamma is not None:
+        energy_local = np.log(1 + gamma * energy_local)
+    d = np.diff(energy_local)
+    d = np.concatenate([d, [0.0]])
+    novelty = np.where(d < 0, 0.0, d)
+    if norm and novelty.max() > 0:
+        novelty = novelty / novelty.max()
+    return novelty * max_energy, fs_feature
+
+
+def moving_average_smoothing(input_signal, k: int) -> np.ndarray:
+    """Edge-padded moving average (``dsp_rain_detection.py:1623-1646``)."""
+    if k <= 0:
+        raise ValueError(
+            "The length of the moving average filter (k) must be a positive "
+            "integer."
+        )
+    pad = k // 2
+    padded = np.pad(np.asarray(input_signal, np.float64), (pad, pad),
+                    mode="edge")
+    return np.convolve(padded, np.ones(k) / k, mode="valid")
+
+
+def check_energy_threshold(magnitude_spectrum, freqs, Fs: float, N: int,
+                           threshold: float) -> bool:
+    """Band-energy gate (``dsp_rain_detection.py:1279-1295``)."""
+    f_res = Fs / N
+    idx1 = int(freqs[0] // f_res + 1)
+    idx2 = int(freqs[1] // f_res)
+    band = np.asarray(magnitude_spectrum)[idx1 : idx2 + 1]
+    return bool(np.sum(np.square(band)) > threshold)

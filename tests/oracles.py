@@ -253,3 +253,187 @@ def spectral_engine_oracle(x, fs=11162, mode_bands=((450.0, 650.0), (800.0, 1050
         "normalized_mode_flux": norm_flux,
         "P_det_band": P_det_band,
     }
+
+
+# ---------------------------------------------------------------------------
+# Full RoE classifier oracle (loop-form, float64)
+# ---------------------------------------------------------------------------
+
+
+def _roe_novelty_loop(mag_band_zeroed, M, thr):
+    """compute_novelty_spectrum_new semantics on a band-zeroed magnitude."""
+    import scipy.signal as spsig
+
+    d = np.diff(mag_band_zeroed, axis=0)
+    d[d <= 0] = 0
+    nov = np.concatenate([d.sum(axis=0), [0.0]])
+    L = len(nov)
+    la = np.zeros(L)
+    mx = nov.max()
+    for m in range(L):
+        a, b = max(m - M, 0), min(m + M + 1, L)
+        la[m] = np.mean(sorted(nov[a:b])[:3])
+        if la[m] <= 0:
+            la[m] = mx / 5
+        if la[m] == 0:
+            la[m] = 1.0
+    nov2 = nov.copy()
+    nov2[nov2 == 0] = 1.0
+    nov2 = nov2 / la
+    peaks, _ = spsig.find_peaks(nov2, prominence=(None, None))
+    mask = np.zeros(L)
+    mask[peaks] = 1
+    out = np.where(nov2 > thr, np.minimum(nov2, 1.5 * thr), 0.0) * mask
+    return out
+
+
+def _roe_first_peak_loop(mag, s_lo, s_hi, a_lo, a_hi, fs, max_peaks=3):
+    """find_peaks_in_frequency_range semantics (129-bin denominator quirk)."""
+    import scipy.signal as spsig
+
+    F, T = mag.shape
+    fn_half = fs / 2
+    b1 = int(s_lo * F / fn_half)
+    b2 = int(s_hi * F / fn_half)
+    found = np.zeros(T, int)
+    fpeak = np.zeros(T)
+    for t in range(T):
+        pk, _ = spsig.find_peaks(mag[b1:b2, t])
+        pk = pk + b1
+        count = min(len(pk), max_peaks)
+        for k in range(count):
+            f = pk[k] * fn_half / F
+            if a_lo < f < a_hi:
+                found[t] = 1
+                fpeak[t] = f
+                break
+    return found, fpeak
+
+
+def roe_oracle(x, fs=11162, check_duration=10, op=(400.0, 3500.0),
+               nat=(400.0, 700.0), fn=400.0, num_harmonics=6,
+               thr=(4.5, 4.0, 3.5, 3.5, 3.5, 3.5), min_drop_count=0.3,
+               handle_fp=True, handle_fn=True):
+    """End-to-end loop oracle of rain_detection_algo (float64)."""
+    import math
+
+    import scipy.signal as spsig
+    import scipy.stats
+
+    N, H, M = 256, 128, 20
+    thr_hn = thr[0] + thr[1] + thr[2]
+    nyq = fs / 2
+    x = np.asarray(x, np.float64)
+    n_samples = x.size
+
+    rain_drop_count = 0
+    frain_mean = 0.0
+    kurt_all, crest_all, de_all = [], [], []
+
+    remaining, offset = check_duration, 0.0
+    while remaining > 0:
+        part = min(remaining, 2)
+        read_size = int(N * (part * fs / N))
+        read_off = int(fs * offset)
+        remaining -= part
+        offset += part
+        if read_off >= n_samples or n_samples - read_off < fs:
+            continue
+        chunk = x[read_off : read_off + read_size]
+
+        sos = spsig.butter(8, [op[0] / nyq, op[1] / nyq], "band", output="sos")
+        audio = spsig.sosfilt(sos, chunk)
+        S = stft_librosa(audio, N, H)
+        mag = np.abs(S)
+        F, T = mag.shape
+
+        # pulse characteristics
+        padded = np.concatenate([np.zeros(H), audio, np.zeros(H)])
+        sos49 = spsig.butter(4, [400 / nyq, 900 / nyq], "band", output="sos")
+        filt = spsig.sosfilt(sos49, padded)
+        n_e = 1 + (len(filt) - N) // H
+        energy = np.array([
+            np.sum(filt[i * H : i * H + N] ** 2) for i in range(min(n_e, T))
+        ])
+        energy = np.pad(energy, (0, max(0, T - len(energy))))
+        k_l = np.zeros(T + 1)
+        c_l = np.zeros(T + 1)
+        d_l = np.zeros(T + 1)
+        for i in range(T):
+            if i >= 2:
+                last = energy[i - 1] if energy[i - 2] >= energy[i - 1] else energy[i - 2]
+                if energy[i] > last:
+                    d_l[i] = energy[i] / (last + 1e-12)
+            if i > 0 and (i * H + N) <= len(padded):
+                fr = padded[i * H : i * H + N]
+                k_l[i] = scipy.stats.kurtosis(fr, fisher=True)
+                c_l[i] = np.max(np.abs(fr)) / (np.sqrt(np.mean(fr**2)) + 1e-12)
+        kurt_all.append(k_l)
+        crest_all.append(c_l)
+        de_all.append(d_l)
+
+        f_res = fs / N
+
+        def band_zero(f1, f2):
+            i1 = int(f1 // f_res) + 1
+            i2 = int(f2 // f_res)
+            Y = np.zeros_like(mag)
+            Y[max(i1, 0) : i2 + 1] = mag[max(i1, 0) : i2 + 1]
+            return Y
+
+        nov = []
+        nov0 = _roe_novelty_loop(band_zero(fn, fn + 300), M, thr[0])
+        found0, fpk0 = _roe_first_peak_loop(mag, op[0], op[1], fn, fn + 300, fs)
+        for k in range(T):
+            if nov0[k] != 0 and found0[k] == 0:
+                nov0[k] = 0
+        nov.append(nov0)
+        nz = fpk0[fpk0 != 0]
+        frain = nz.mean() if nz.size else 0.0
+        frain_mean = frain
+
+        in_nat = nat[0] <= frain <= nat[1]
+        overflow = frain * num_harmonics + 300 > op[1] + 100
+        for hn in range(1, num_harmonics):
+            active = in_nat and not (hn == num_harmonics - 1 and overflow)
+            if not active:
+                nov.append(np.zeros(T + 1))
+                continue
+            f1 = frain * (hn + 1) - 100
+            novx = _roe_novelty_loop(band_zero(f1, f1 + 300), M, thr[min(hn, 5)])
+            s_lo = max(frain * (hn + 1) - 200, op[0])
+            s_hi = min(frain * (hn + 1) + 300, op[1])
+            _, fpkh = _roe_first_peak_loop(mag, s_lo, s_hi, f1, f1 + 300, fs)
+            for k in range(T):
+                if novx[k] != 0 and fpkh[k] == 0:
+                    novx[k] = 0
+            nov.append(novx)
+
+        nov = np.stack(nov)
+        nov[1:, nov[0] == 0] = 0
+        s = nov.sum(axis=0)
+        rain_drop_count += int((s >= thr_hn).sum())
+
+    duration = check_duration
+    rd_thr = math.ceil(min_drop_count * duration)
+    raining = rain_drop_count > rd_thr
+    kurt = np.concatenate(kurt_all)
+    crest = np.concatenate(crest_all)
+    de = np.concatenate(de_all)
+    peaks = (kurt > 2.5) & (crest > 3.75) & (de > 6.5)
+    rain_peaks_count = int(peaks.sum())
+
+    mod = rain_drop_count
+    if handle_fn and not raining and (
+        rain_drop_count > 50 or rain_peaks_count > 30
+    ):
+        raining = True
+        mod = max(rain_drop_count, rain_peaks_count)
+    if handle_fp and raining and (
+        rain_peaks_count < 9 or rain_drop_count < rd_thr
+    ):
+        raining = False
+        mod = 0
+    if not raining:
+        mod = 0
+    return mod, frain_mean, rain_peaks_count

@@ -108,3 +108,28 @@ def test_multiprocessor_chain_device_batch(tmp_path, rng):
     for fk, row in by_key.iterrows():
         assert bool(row["rain_detector__clip_is_rain"]) == ("true" in fk)
     assert set(states) == {"rain_detector", "band_noise"}
+
+
+def test_misc_roe_utilities(rng):
+    from audio_processing_tools_tpu.models.wind import (
+        compute_novelty_energy, moving_average_smoothing,
+        check_energy_threshold,
+    )
+
+    x = np.zeros(FS)
+    x[4000:4200] = 0.5  # energy step
+    nov, fsf = compute_novelty_energy(x, Fs=FS, N=512, H=256)
+    assert fsf == FS / 256
+    assert nov.argmax() in range(13, 19)  # onset near sample 4000 / 256
+
+    y = moving_average_smoothing(np.array([0, 0, 10, 0, 0.0]), 3)
+    assert y.shape == (5,)
+    assert abs(y[2] - 10 / 3) < 1e-9
+    import pytest
+    with pytest.raises(ValueError):
+        moving_average_smoothing(x, 0)
+
+    spec = np.zeros(129)
+    spec[20] = 5.0
+    assert check_energy_threshold(spec, (400, 3500), FS, 256, threshold=1.0)
+    assert not check_energy_threshold(spec, (400, 3500), FS, 256, threshold=100.0)
