@@ -197,10 +197,18 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
     zi_b = jnp.asarray(sosfilt_zi(bpf), jnp.float32) * x0
     x_bp, _ = sosfilt(bpf, x_h, zi=zi_b)
 
+    inputs = _per_frame_inputs(x_h, x_bp, cfg, T)
+    outs, _ = _run_band_scan(cfg, _scan_carry_init(cfg), inputs)
+    return outs
+
+
+def _per_frame_inputs(x_h, x_bp, cfg: BandNoiseEstimatorConfig, T: int):
+    """Per-frame quantities feeding the estimator scan (batched tensor math)."""
+    N = cfg.frame_len
+    S = 1 + (N - cfg.subframe_len) // cfg.subhop
     frames_h = x_h.reshape(T, N)
     frames_bp = x_bp.reshape(T, N)
 
-    # per-frame quantities (all batched)
     E_hpf = jnp.sum(frames_h * frames_h, axis=-1)
     sub_idx = np.arange(S)[:, None] * cfg.subhop + np.arange(cfg.subframe_len)[None, :]
     subs_h = frames_h[:, sub_idx]          # (T, S, sub_len)
@@ -224,12 +232,14 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
     # FFT rain-band sums (inclusive bin ranges with clipping)
     det = cfg.det
     n_bins = P_fft.shape[-1]
+
     def band_cols(b0, b1):
         b0 = max(0, min(b0, n_bins - 1))
         b1 = max(0, min(b1, n_bins - 1))
         if b1 < b0:
             return np.zeros(0, np.int64)
         return np.arange(b0, b1 + 1)
+
     rain_cols = np.concatenate([
         band_cols(hz_to_bin(f0, det.fs, det.n_fft), hz_to_bin(f1, det.fs, det.n_fft))
         for f0, f1 in det.rain_bands_hz
@@ -240,14 +250,77 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
     )
     rain_sum_t = jnp.sum(P_fft[:, rain_cols], axis=-1)
     primary_t = jnp.sum(P_fft[:, prim_cols], axis=-1)
+    return (subE, subEhpf, rain_sum_t, primary_t, Eb, Mb, Mb_fft, Eb_fft, E_hpf)
 
-    M_ratio = db_to_ratio(det.M_db)
-    N_ratio = db_to_ratio(det.N_db)
-    D_ratio = db_to_ratio(det.D_db)
 
+def band_noise_init_state(cfg: BandNoiseEstimatorConfig) -> Dict[str, Any]:
+    """Fresh stream state for chunked processing (zi unseeded + scan carry)."""
+    hpf, bpf = _design_filters(cfg)
+    n_h = hpf.shape[0] if hpf is not None else 0
+    return {
+        "seeded": jnp.asarray(False),
+        "zi_h": jnp.zeros((n_h, 2), jnp.float32),
+        "zi_b": jnp.zeros((bpf.shape[0], 2), jnp.float32),
+        "scan": _scan_carry_init(cfg),
+    }
+
+
+def band_noise_reset_noise_estimator(cfg: BandNoiseEstimatorConfig,
+                                     state: Dict[str, Any]) -> Dict[str, Any]:
+    """Mid-stream noise-estimator reset (``reset_noise_estimator``,
+    ``band_noise_estimator.py:604-624``): clears the ring buffer, EMA,
+    effective q and N_E smoothing but keeps filter/detector state and the
+    stream frame index (TTL timebase)."""
+    state = dict(state)
+    c = dict(state["scan"])
+    fresh = _scan_carry_init(cfg)
+    for k in ("buf", "valid", "buf_frame_idx", "wr", "count_valid",
+              "frames_since_noise_update", "noise_ema", "noise_effective_q",
+              "N_E_smooth"):
+        c[k] = fresh[k]
+    state["scan"] = c
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def band_noise_process_chunk(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig,
+                             state: Dict[str, Any]):
+    """Chunked streaming: process ``len(x) // frame_len`` frames with carried
+    state.  Threading states across chunks is bit-identical to
+    :func:`band_noise_process` on the concatenated stream (chunk length must
+    be a multiple of ``frame_len``).  Returns ``(outs, new_state)``."""
+    x = x.astype(jnp.float32).reshape(-1)
+    N = cfg.frame_len
+    T = x.shape[-1] // N
+    x = x[: T * N]
+
+    hpf, bpf = _design_filters(cfg)
+    state = dict(state)
+    x0 = x[0]
+    seeded = state["seeded"]
+    if hpf is not None:
+        zi_h_seed = jnp.asarray(sosfilt_zi(hpf), jnp.float32) * x0
+        zi_h = jnp.where(seeded, state["zi_h"], zi_h_seed)
+        x_h, zf_h = sosfilt(hpf, x, zi=zi_h)
+        state["zi_h"] = zf_h
+    else:
+        x_h = x
+    zi_b_seed = jnp.asarray(sosfilt_zi(bpf), jnp.float32) * x0
+    zi_b = jnp.where(seeded, state["zi_b"], zi_b_seed)
+    x_bp, zf_b = sosfilt(bpf, x_h, zi=zi_b)
+    state["zi_b"] = zf_b
+    state["seeded"] = jnp.asarray(True)
+
+    inputs = _per_frame_inputs(x_h, x_bp, cfg, T)
+    outs, carry = _run_band_scan(cfg, state["scan"], inputs)
+    state["scan"] = carry
+    return outs, state
+
+
+def _scan_carry_init(cfg: BandNoiseEstimatorConfig) -> Dict[str, Any]:
+    """Initial estimator scan carry (detector + ring buffer + telemetry)."""
     W = int(cfg.W)
-
-    carry0 = dict(
+    return dict(
         # fft detector
         prev_rain_sum=jnp.float32(0), prev_primary=jnp.float32(0),
         have_prev_fft=jnp.asarray(False),
@@ -274,6 +347,16 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
         learned_total=jnp.int32(0), replenish_total=jnp.int32(0),
     )
 
+
+def _run_band_scan(cfg: BandNoiseEstimatorConfig, carry0, inputs):
+    """The estimator scan over per-frame arrays; returns (outs, carry)."""
+    (subE, subEhpf, rain_sum_t, primary_t, Eb, Mb, Mb_fft, Eb_fft, E_hpf) = inputs
+    det = cfg.det
+    S = subE.shape[-1]
+    W = int(cfg.W)
+    M_ratio = db_to_ratio(det.M_db)
+    N_ratio = db_to_ratio(det.N_db)
+    D_ratio = db_to_ratio(det.D_db)
     ttl = int(cfg.noise_buffer_ttl_frames)
 
     def expire(c):
@@ -491,11 +574,11 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
         }
         return c, out
 
-    _, outs = jax.lax.scan(
+    carry_out, outs = jax.lax.scan(
         step, carry0,
         (subE, subEhpf, rain_sum_t, primary_t, Eb, Mb, Mb_fft, Eb_fft, E_hpf),
     )
-    return outs
+    return outs, carry_out
 
 
 # ---------------------------------------------------------------------------

@@ -318,3 +318,47 @@ def test_batched_vmap(rng):
     np.testing.assert_allclose(
         np.asarray(outb["N_E"])[0], np.asarray(out0["N_E"]), rtol=1e-5
     )
+
+
+def test_chunked_streaming_matches_full(rng):
+    """Chunked carry threading == one-shot clip processing (bit-identical)."""
+    import jax
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        band_noise_init_state,
+        band_noise_process_chunk,
+        band_noise_reset_noise_estimator,
+    )
+
+    cfg = BandNoiseEstimatorConfig()
+    x = _signal(rng, seconds=4)
+    usable = x.size // 512 * 512
+    full = band_noise_process(jnp.asarray(x[:usable]), cfg)
+    full = jax.tree_util.tree_map(np.asarray, full)
+
+    state = band_noise_init_state(cfg)
+    parts = []
+    chunk = 512 * 17  # odd chunking
+    for i in range(0, usable, chunk):
+        piece = x[i : min(i + chunk, usable)]
+        piece = piece[: piece.size // 512 * 512]
+        if piece.size == 0:
+            break
+        out, state = band_noise_process_chunk(jnp.asarray(piece), cfg, state)
+        parts.append(jax.tree_util.tree_map(np.asarray, out))
+    cat = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    for k in ("N_E", "G_mag", "E_band", "noise_effective_q"):
+        np.testing.assert_allclose(cat[k], full[k], rtol=1e-5, atol=1e-8,
+                                   err_msg=k)
+    np.testing.assert_array_equal(cat["rain_submask"], full["rain_submask"])
+    np.testing.assert_array_equal(
+        cat["noise_buffer_valid_count"], full["noise_buffer_valid_count"]
+    )
+
+    # mid-stream estimator reset clears the buffer but keeps the stream alive
+    state2 = band_noise_reset_noise_estimator(cfg, state)
+    out2, state2 = band_noise_process_chunk(
+        jnp.asarray(x[:512 * 4]), cfg, state2
+    )
+    assert int(np.asarray(out2["noise_buffer_valid_count"])[0]) <= cfg.W
+    assert float(np.asarray(out2["N_E"])[0]) == 0.0  # warmup restarted
