@@ -133,3 +133,36 @@ def test_misc_roe_utilities(rng):
     spec[20] = 5.0
     assert check_energy_threshold(spec, (400, 3500), FS, 256, threshold=1.0)
     assert not check_energy_threshold(spec, (400, 3500), FS, 256, threshold=100.0)
+
+
+def test_eac_pitch(rng):
+    from audio_processing_tools_tpu.models.pitch import (
+        compute_eac_for_frames, estimate_pitch_from_eac,
+        compute_instantaneous_frequency,
+    )
+    import scipy.signal as spsig
+
+    # frames of a 220 Hz sawtooth-ish harmonic tone
+    n, L = 6, 1024
+    k = np.arange(L)
+    frames = np.stack([
+        sum((1.0 / h) * np.sin(2 * np.pi * 220 * h * (k + 17 * i) / FS)
+            for h in range(1, 5))
+        for i in range(n)
+    ]).astype(np.float32)
+    eac = np.asarray(compute_eac_for_frames(frames))
+    assert eac.shape == (n, L)
+    # parity with scipy full correlation per frame
+    ref = spsig.correlate(frames[0].astype(np.float64), frames[0].astype(np.float64),
+                          mode="full")
+    ref = ref[len(ref) // 2 : len(ref) // 2 + L]
+    ref = ref / np.max(np.abs(ref))
+    np.testing.assert_allclose(eac[0], ref, atol=2e-3)
+
+    f0 = np.asarray(estimate_pitch_from_eac(eac, FS))
+    assert np.all(np.abs(f0 - 220) < 15), f0
+
+    # instantaneous frequency of a pure tone ~ constant 500 Hz
+    tone = np.sin(2 * np.pi * 500 * k / FS).astype(np.float32)
+    fi = compute_instantaneous_frequency(tone, FS)
+    assert abs(np.median(fi) - 500) < 5
