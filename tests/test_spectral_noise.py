@@ -207,3 +207,21 @@ def test_feature_dump(rng):
     for k in ("primary_mode_flux", "support_mode_flux_1", "td_block_energy_crest",
               "frame_class", "frame_times"):
         assert k in feats, k
+
+
+def test_long_clip_60s(rng):
+    """60-second clip (the transform.py truncation length) runs clean."""
+    eng = SpectralNoiseEngine()
+    eng.setup({"sample_rate": FS, "detector": DET})
+    n = FS * 60
+    x = 0.01 * rng.standard_normal(n)
+    for t0 in rng.integers(FS, n - 2000, 120):
+        k = np.arange(800)
+        ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                   for f, a in [(520, 1), (900, 0.5), (1600, 0.35)])
+        x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+    out = eng.process(x.astype(np.float32))
+    T = 1 + n // 128
+    assert out["frame_class"].shape == (T,)
+    assert (out["frame_class"] == FrameClass.RAIN).sum() > 20
+    assert np.isfinite(out["mean_noise_floor_db"])
