@@ -31,7 +31,7 @@ from audio_processing_tools_tpu.io.audio import (
     get_keys as default_get_keys,
     get_input_data as default_get_input_data,
 )
-from audio_processing_tools_tpu.framework.parquet_io import (
+from audio_processing_tools_tpu.framework.parquet_io import (  # noqa: F401
     flush_saved_batches,
     restore_state_df_from_parquet,  # re-exported
 )

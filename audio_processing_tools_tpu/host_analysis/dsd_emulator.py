@@ -25,7 +25,7 @@ fleet backfills.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -32,10 +32,7 @@ from audio_processing_tools_tpu.ops.peaks import (
     peak_prominences,
     peak_widths_rel,
 )
-from audio_processing_tools_tpu.ops.features_td import (
-    extract_td_features,
-    TD_FEATURE_NAMES,
-)
+from audio_processing_tools_tpu.ops.features_td import extract_td_features
 from audio_processing_tools_tpu.ops.features_spec import (
     extract_raw_spectral_features,
     clip_spectral_occupancy,

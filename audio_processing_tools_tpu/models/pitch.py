@@ -10,13 +10,12 @@ lag search is a masked tensor argmax — one jitted program per frame shape.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from audio_processing_tools_tpu.models.time_domain import hilbert_envelope
 
 
 @partial(jax.jit, static_argnames=("center_clip_threshold",))

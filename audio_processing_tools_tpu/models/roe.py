@@ -26,7 +26,7 @@ instead of ``NameError``.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Tuple
 

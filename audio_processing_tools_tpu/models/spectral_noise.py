@@ -16,7 +16,6 @@ of clips returns fixed-shape per-clip metrics without host round-trips.
 from __future__ import annotations
 
 import json
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

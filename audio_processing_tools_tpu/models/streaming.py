@@ -20,7 +20,6 @@ it in one call, because every tracker threads an explicit carry
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -35,7 +34,7 @@ from audio_processing_tools_tpu.models.frame_classifier import (
 )
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
 from audio_processing_tools_tpu.ops.windows import hann_window
-from audio_processing_tools_tpu.ops.filters import sosfilt, sosfilt_zi
+from audio_processing_tools_tpu.ops.filters import sosfilt
 from audio_processing_tools_tpu.ops.stats import kurtosis, crest_factor, nan_to_num
 from audio_processing_tools_tpu.ops.trackers import (
     make_psd_params,

@@ -15,7 +15,6 @@ hops, clipped to the signal ([t-128, t+256] -> 384 samples by default).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -23,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.ops.filters import design_bandpass, sosfiltfilt, sosfilt
-from audio_processing_tools_tpu.ops.stats import kurtosis as kurtosis_op
 from audio_processing_tools_tpu.ops.peaks import (
     local_maxima,
     peak_prominences,

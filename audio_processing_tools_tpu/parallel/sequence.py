@@ -26,7 +26,7 @@ from typing import Dict, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from audio_processing_tools_tpu.ops.windows import hann_window

@@ -15,7 +15,6 @@ import math
 from typing import Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.models.roe import (

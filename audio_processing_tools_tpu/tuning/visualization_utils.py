@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import glob
 import json
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 import pandas as pd
