@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from audio_processing_tools_tpu.ops.windows import hann_window
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
