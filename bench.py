@@ -2,13 +2,17 @@
 features (north-star target: 500).
 
 Pipeline shape (the production design):
-  host: int16 sensor PCM (container decode output) ->
-  device: int16->float scaling ("decode" tail), prefilter, STFT, detector
+  host: MARK container bytes -> ``parse_mark_audio_file`` (the real container
+        decode: header parse + payload alignment + PCM decode) -> int16 batch
+  device: int16->float scaling (decode tail), prefilter, STFT, detector
           noise normalization, rain-frame classification, clip aggregates.
 
 Transfers ship int16 (half the bytes of float32) and are double-buffered:
-batch k+1 is placed on device while batch k computes; only small per-clip
-outputs (frame classes + counts) come back.
+batch k+1 is decoded on the host and placed on device while batch k
+computes; only small per-clip outputs (frame classes + counts) come back.
+
+On TPU the run also records Pallas-vs-XLA spectrogram parity
+(``pallas_max_rel_dev`` in the JSON) and asserts the <1e-5 BASELINE bound.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``--quick`` runs a small CPU smoke version.
@@ -39,6 +43,10 @@ def main() -> None:
     from audio_processing_tools_tpu.config import build_noise_config, DEFAULT_MODE_BANDS
     from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
     from audio_processing_tools_tpu.models.frame_classifier import FrameClass
+    from audio_processing_tools_tpu.io.mark import (
+        parse_mark_audio_file,
+        write_mark_audio_file,
+    )
 
     FS = 11162
     cfg = build_noise_config(FS, {
@@ -64,24 +72,36 @@ def main() -> None:
 
     step = jax.jit(step_fn)
 
-    def run_once(B, iters):
-        host_batches = [
-            (rng.standard_normal((B, clip_len)) * 2000).astype(np.int16)
-            for _ in range(2)
+    def make_mark_batch(B):
+        """B synthetic MARK container files (the real on-disk format)."""
+        return [
+            write_mark_audio_file(
+                (rng.standard_normal(clip_len) * 2000).astype(np.int16),
+                sample_rate=FS, timestamp=1700000000 + i, device_id=f"DEV{i:05d}",
+            )
+            for i in range(B)
         ]
+
+    def decode_batch(files):
+        # host-side container decode: the north-star metric's "decode" stage
+        return np.stack([parse_mark_audio_file(fc)[0] for fc in files])
+
+    def run_once(B, iters):
+        mark_batches = [make_mark_batch(B) for _ in range(2)]
         # warm-up / compile
-        r = step(jax.device_put(jnp.asarray(host_batches[0])))
+        r = step(jax.device_put(jnp.asarray(decode_batch(mark_batches[0]))))
         np.asarray(r["rain_frame_count"])
 
         t0 = time.perf_counter()
-        inflight = jax.device_put(jnp.asarray(host_batches[0]))
+        inflight = jax.device_put(jnp.asarray(decode_batch(mark_batches[0])))
         results = []
         for i in range(iters):
             current = inflight
-            # double-buffer: stage the next batch while this one computes
+            # double-buffer: decode + stage the next batch while this one
+            # computes on device
             if i + 1 < iters:
                 inflight = jax.device_put(
-                    jnp.asarray(host_batches[(i + 1) % 2])
+                    jnp.asarray(decode_batch(mark_batches[(i + 1) % 2]))
                 )
             out = step(current)
             results.append(out)
@@ -108,18 +128,39 @@ def main() -> None:
         if rate > best_rate:
             best_rate, best_B = rate, B
 
-    # secondary primary metric (BASELINE.md): p50 per-file latency (B=1)
-    pcm1 = jnp.asarray((rng.standard_normal((1, clip_len)) * 2000).astype(np.int16))
-    r = step(jax.device_put(pcm1))
+    # secondary primary metric (BASELINE.md): p50 per-file latency (B=1),
+    # container-decode included
+    mark1 = make_mark_batch(1)
+    r = step(jax.device_put(jnp.asarray(decode_batch(mark1))))
     np.asarray(r["rain_frame_count"])
     lats = []
     for _ in range(5 if not args.quick else 2):
         t0 = time.perf_counter()
-        r = step(jax.device_put(pcm1))
+        r = step(jax.device_put(jnp.asarray(decode_batch(mark1))))
         np.asarray(r["rain_frame_count"])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1000)
     print(f"# p50 per-file latency: {p50_ms:.1f} ms", file=sys.stderr)
+
+    # Pallas-vs-XLA spectrogram parity, captured on hardware every run
+    # (BASELINE.md bound: <1e-5 normalized max deviation)
+    pallas_dev = None
+    if jax.default_backend() == "tpu":
+        from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
+        from audio_processing_tools_tpu.ops.stft import stft_power
+
+        xv = jnp.asarray(
+            (rng.standard_normal((4, FS)) * 0.1).astype(np.float32)
+        )
+        Pk = np.asarray(jax.jit(
+            lambda x: spectrogram_power(x, use_pallas=True))(xv))
+        Px = np.asarray(jax.jit(
+            lambda x: stft_power(x))(xv))
+        pallas_dev = float(np.max(np.abs(Pk - Px)) / np.max(np.abs(Px)))
+        print(f"# pallas max rel dev: {pallas_dev:.2e}", file=sys.stderr)
+        assert pallas_dev < 1e-5, (
+            f"Pallas spectrogram parity regression: {pallas_dev:.2e} >= 1e-5"
+        )
 
     print(json.dumps({
         "metric": "audio-hours/hour/chip (decode->STFT->rain features)",
@@ -129,6 +170,7 @@ def main() -> None:
         "batch": best_B,
         "clip_sec": args.clip_sec,
         "p50_file_latency_ms": round(p50_ms, 1),
+        "pallas_max_rel_dev": pallas_dev,
         "backend": jax.default_backend(),
     }))
 
