@@ -1,8 +1,13 @@
-"""ALAC decode via ffmpeg (host-side, gated on binary availability).
+"""ALAC decode (host-side): in-process libavcodec shim or the ffmpeg binary.
 
-Pipeline parity with the reference (``parse.py:373-472``): payload -> CAF
-re-containerization -> ffmpeg -> int16 WAV.  ffmpeg stays a host-side
-dependency of the ingest layer; environments without it get a clear error.
+Pipeline parity with the reference (``parse.py:373-472``), which decodes via
+payload -> CAF re-containerization -> ffmpeg subprocess -> int16 WAV. Two
+routes here:
+
+  * ``native`` (preferred): the same decoder (libavcodec's ALAC) linked
+    in-process via ``native/alac_shim.cpp`` — no subprocess, no temp files.
+  * ``ffmpeg``: the reference's exact subprocess route, used when the shim
+    is unavailable or explicitly requested.
 """
 
 from __future__ import annotations
@@ -54,9 +59,36 @@ def have_ffmpeg() -> bool:
         return False
 
 
-def decode_alac_to_pcm(audio_data: bytes, *, ffmpeg_path: Optional[str] = None
-                       ) -> np.ndarray:
-    """Decode a firmware ALAC payload to int16 PCM samples."""
+def have_alac_decoder() -> bool:
+    """True when either ALAC decode route (shim or ffmpeg) is available."""
+    from audio_processing_tools_tpu.io.alac_native import have_alac_shim
+
+    return have_alac_shim() or have_ffmpeg()
+
+
+def decode_alac_to_pcm(audio_data: bytes, *, ffmpeg_path: Optional[str] = None,
+                       method: str = "auto") -> np.ndarray:
+    """Decode a firmware ALAC payload to int16 PCM samples.
+
+    ``method``: ``"auto"`` (in-process libavcodec shim, falling back to the
+    ffmpeg binary), ``"native"``, or ``"ffmpeg"``.
+    """
+    if method not in ("auto", "native", "ffmpeg"):
+        raise ValueError(f"unknown ALAC decode method: {method!r}")
+    if method in ("auto", "native"):
+        from audio_processing_tools_tpu.io.alac_native import (
+            decode_alac_payload,
+            have_alac_shim,
+        )
+
+        if have_alac_shim():
+            return decode_alac_payload(audio_data)
+        if method == "native":
+            raise RuntimeError(
+                "native ALAC decode requested but libalac_shim.so is "
+                "unavailable (build with `make -C native`)"
+            )
+
     ffmpeg = resolve_ffmpeg_path(ffmpeg_path)
 
     with tempfile.TemporaryDirectory() as temp_dir:

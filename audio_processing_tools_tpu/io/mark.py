@@ -80,7 +80,11 @@ def write_mark_audio_file(
     device_id: str = "TESTDEV",
     payload: Optional[bytes] = None,
 ) -> bytes:
-    """Serialize int16 PCM (or a raw ``payload``) into a MARK container."""
+    """Serialize int16 PCM (or a raw ``payload``) into a MARK container.
+
+    ``file_version >= 1`` with no explicit ``payload`` encodes the PCM to a
+    firmware-geometry ALAC payload (requires the libavcodec shim).
+    """
     if payload is None:
         arr = np.asarray(pcm)
         if arr.dtype != np.int16:
@@ -89,7 +93,14 @@ def write_mark_audio_file(
                 arr = (arr * 32767.0).astype(np.int16)
             else:
                 arr = arr.astype(np.int16)
-        payload = arr.astype("<i2" if endianness == 0 else ">i2").tobytes()
+        if file_version >= 1:
+            from audio_processing_tools_tpu.io.alac_native import (
+                encode_alac_payload,
+            )
+
+            payload = encode_alac_payload(arr, sample_rate)
+        else:
+            payload = arr.astype("<i2" if endianness == 0 else ">i2").tobytes()
     header = struct.pack(
         _HEADER_FMT,
         MARK_MAGIC,
