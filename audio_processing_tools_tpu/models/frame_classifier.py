@@ -501,14 +501,75 @@ def detect_rain_over_time(
                     "td_vote_count": td_vote_count,
                     "td_soft_score": td_soft_score,
                 })
-        # NOTE: sparse tier needs dynamic gather; exported as a mask instead
+        # sparse tier: static-shape gather of rain-frame spectral features
+        # (reference gathers at flatnonzero(mask) — dynamic; here a fixed
+        # K-slot layout with -1-padded indices keeps the program jittable)
         if cfg.dflag("feature_dump_sparse_enable", False):
             gate_feature = str(
                 cfg.dget("feature_dump_sparse_gate_feature", "td_block_energy_crest")
             ).strip().lower()
             thr = float(cfg.dget("feature_dump_sparse_gate_threshold", 3.5))
             src = td_crest if gate_feature == "td_crest_factor" else td_bec
-            feature_dump["sparse_frame_mask"] = nan_to_num(src) > thr
+            mask = nan_to_num(src) > thr
+            feature_dump["sparse_frame_mask"] = mask
+
+            K = min(int(cfg.dget("feature_dump_sparse_max_frames", 64)), T)
+            select = str(
+                cfg.dget("feature_dump_sparse_select", "first")
+            ).strip().lower()
+            idxs = jnp.arange(T, dtype=jnp.int32)
+            if select == "top":
+                # the K most salient gated frames (by gate value), then
+                # re-sorted into time order for a stable slot layout
+                score = jnp.where(mask, src, -jnp.inf)
+                cand = jnp.argsort(-score)[:K].astype(jnp.int32)
+                cand = jnp.where(mask[cand], cand, jnp.int32(T))
+            else:
+                # "first": the first K gated frames in time order — an exact
+                # prefix of the reference's flatnonzero(mask) indices
+                cand = jnp.sort(jnp.where(mask, idxs, jnp.int32(T)))[:K]
+            sel = jnp.sort(cand)
+            valid = sel < T
+            gather_idx = jnp.where(valid, sel, 0)
+
+            feature_dump["sparse_frame_idx"] = jnp.where(valid, sel, -1)
+            feature_dump["sparse_valid_count"] = jnp.sum(
+                mask.astype(jnp.int32)
+            )
+            feature_dump["sparse_captured_count"] = jnp.sum(
+                valid.astype(jnp.int32)
+            )
+
+            # reference name selection (rain_frame_classifier.py:1131-1152):
+            # the full raw-spectral list skips the "basic" trio unless the
+            # basic flag is also on; basic-only mode gathers just the trio
+            basic = (
+                "raw_spectral_centroid_hz", "raw_rain_band_ratio",
+                "raw_spectral_rolloff_hz",
+            )
+            include_full = cfg.dflag(
+                "feature_dump_include_raw_spectral_frame_features", True)
+            include_basic = cfg.dflag(
+                "feature_dump_include_raw_spectral_basic", False)
+            if include_full:
+                names = tuple(
+                    n for n in RAW_SPECTRAL_FEATURE_NAMES
+                    if include_basic or n not in basic
+                )
+            elif include_basic:
+                names = basic
+            else:
+                names = ()
+            for name in names:
+                vals = aligned_raw[name][gather_idx]
+                feature_dump[f"sparse_{name}"] = jnp.where(valid, vals, 0.0)
+
+        # clip-summary tier: clip spectral occupancy in the dump
+        if (cfg.dflag("feature_dump_clip_summary_enable", False)
+                and "clip_spectral_occupancy" in det_debug):
+            feature_dump["clip_spectral_occupancy"] = det_debug[
+                "clip_spectral_occupancy"
+            ]
 
     det_debug["peak_features_enable"] = peak_features_enable
     return frame_class, rain_conf, det_debug, feature_dump

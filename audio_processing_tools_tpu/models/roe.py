@@ -71,6 +71,10 @@ class RoeConfig:
     t_band: Tuple[float, float] = (400.0, 3500.0)
     handle_fp: bool = True
     handle_fn: bool = True
+    # debug plotting payloads (``spectrum_db0``/``spectrum_db`` in
+    # ``algo_state``, reference ``dsp_rain_detection.py:2336-2341``); off by
+    # default in the batched paths to keep device->host transfers small
+    return_spectra: bool = True
 
     # derived (``configure_parameters``, ``:1298-1391``)
     @property
@@ -286,6 +290,15 @@ def _pulse_characteristics(audio: jnp.ndarray, num_frames: int, cfg: RoeConfig
     }
 
 
+def _amplitude_to_db_refmax(mag: jnp.ndarray, amin: float = 1e-5,
+                            top_db: float = 80.0) -> jnp.ndarray:
+    """librosa ``amplitude_to_db(..., ref=np.max)`` semantics."""
+    m = jnp.maximum(mag, amin)
+    ref = jnp.maximum(jnp.max(mag), amin)
+    db = 20.0 * jnp.log10(m) - 20.0 * jnp.log10(ref)
+    return jnp.maximum(db, jnp.max(db) - top_db)
+
+
 # ---------------------------------------------------------------------------
 # per-chunk analysis
 # ---------------------------------------------------------------------------
@@ -387,7 +400,7 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
     nov_hn_new = jnp.sum(jnp.stack(clipped), axis=0)
     rain_status_new = nov_hn_new > cfg.rain_thr_hn
 
-    return {
+    out = {
         "rain_drops": rain_drops,
         "frain_mean": frain_mean,
         "raining": raining,
@@ -399,6 +412,14 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
         "rain_status_new": rain_status_new,
         **t_res,
     }
+    if cfg.return_spectra:
+        # plotting payloads (``dsp_rain_detection.py:2336-2341``): db0 is
+        # the post-noise-suppression spectrum, db the raw one; with the
+        # supported nf == 0 they differ only through log compression
+        out["spectrum_db0"] = _amplitude_to_db_refmax(Y)
+        Yp = mag if cfg.log_factor == 0 else jnp.log(1 + cfg.log_factor * mag)
+        out["spectrum_db"] = _amplitude_to_db_refmax(Yp)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +468,9 @@ def _roe_traced(audio: jnp.ndarray, cfg: RoeConfig, n_samples: int
     for k in concat_keys:
         merged[k] = jnp.concatenate([c[k] for c in chunks_out], axis=-1)
     merged["nov"] = jnp.concatenate([c["nov"] for c in chunks_out], axis=-1)
+    if cfg.return_spectra:
+        for k in ("spectrum_db0", "spectrum_db"):
+            merged[k] = jnp.concatenate([c[k] for c in chunks_out], axis=-1)
 
     rain_drop_threshold = math.ceil(cfg.min_drop_count * duration)
     raining_flag = rain_drop_count > rain_drop_threshold
@@ -510,6 +534,7 @@ def rain_detection_algo(audio_data, **kwargs) -> Tuple[int, float, Dict[str, Any
 
 def python_classifier_boolean_wrapper(audio_signal, **kwargs):
     """Boolean wrapper (``dsp_rain_detection.py:2577-2598``)."""
+    kwargs.setdefault("return_spectra", False)  # state is discarded
     drops, _, _ = rain_detection_algo(audio_signal, **kwargs)
     if drops > 0:
         return True
@@ -520,6 +545,7 @@ def python_classifier_boolean_wrapper(audio_signal, **kwargs):
 
 def roe_detect_batch(audio_matrix: np.ndarray, **kwargs) -> Dict[str, np.ndarray]:
     """Batched RoE over (B, N) clips: one vmapped XLA program."""
+    kwargs.setdefault("return_spectra", False)  # keep batch payloads small
     cfg = build_roe_config(**kwargs)
     xb = jnp.asarray(np.asarray(audio_matrix, np.float32))
     n = int(xb.shape[-1])

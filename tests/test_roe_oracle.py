@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from audio_processing_tools_tpu.models.roe import rain_detection_algo
-from tests.oracles import roe_oracle
+from tests.oracles import roe_oracle, stft_librosa
 
 FS = 11162
 PARAMS = dict(
@@ -45,3 +45,41 @@ def test_roe_matches_full_oracle(rng, kind, drops):
     assert abs(int(state["rain_peaks_count"]) - peaks_ref) <= max(
         2, int(0.1 * max(peaks_ref, 1))
     )
+
+
+def test_roe_debug_spectra_match_oracle(rng):
+    """algo_state carries the plotting spectra (dsp_rain_detection.py:2336-2341),
+    matching a float64 scipy+librosa-form oracle chunk for chunk."""
+    import scipy.signal as spsig
+
+    x = _harmonic_rain(rng, drops=40)
+    _, _, state = rain_detection_algo(x, **PARAMS)
+    sp0, sp = state["spectrum_db0"], state["spectrum_db"]
+    # nf == 0 and log_factor == 0: pre/post-suppression spectra identical
+    np.testing.assert_array_equal(sp0, sp)
+
+    N, H = 256, 128
+    sos = spsig.butter(8, [400 / (FS / 2), 3500 / (FS / 2)], "bandpass",
+                       output="sos")
+    parts = []
+    remaining, offset, n_samples = 10, 0.0, x.size
+    while remaining > 0:
+        part = min(remaining, 2)
+        read_size = int(N * (part * FS / N))
+        read_off = int(FS * offset)
+        remaining -= part
+        offset += part
+        if read_off >= n_samples or n_samples - read_off < FS:
+            continue
+        chunk = x[read_off : read_off + read_size].astype(np.float64)
+        mag = np.abs(stft_librosa(spsig.sosfilt(sos, chunk), N, H))
+        m = np.maximum(mag, 1e-5)
+        ref = np.maximum(mag.max(), 1e-5)
+        db = 20 * np.log10(m) - 20 * np.log10(ref)
+        parts.append(np.maximum(db, db.max() - 80.0))
+    expected = np.concatenate(parts, axis=-1)
+    assert sp.shape == expected.shape
+    assert abs(float(sp.max())) < 1e-5  # ref=max normalization (f32 rounding)
+    np.testing.assert_allclose(sp, expected, atol=0.5)
+    # most bins should be far tighter than the dB tolerance
+    assert np.quantile(np.abs(sp - expected), 0.99) < 0.1

@@ -209,6 +209,81 @@ def test_feature_dump(rng):
         assert k in feats, k
 
 
+def test_feature_dump_sparse_tier_matches_flatnonzero_oracle(rng):
+    """Static top-K sparse gather == the reference's flatnonzero gather.
+
+    Parity with reference ``rain_frame_classifier.py:1096-1161``: gathered
+    indices are an exact prefix of ``np.flatnonzero(mask)`` and every
+    ``sparse_<name>`` value equals the dense feature at that frame.
+    """
+    K = 16
+    eng = SpectralNoiseEngine()
+    eng.setup({
+        "sample_rate": FS, "dump_features": True,
+        "return_detector_debug": True,
+        "detector": {
+            **DET, "feature_dump_level": 1,
+            "feature_dump_sparse_enable": True,
+            "feature_dump_sparse_max_frames": K,
+            "feature_dump_include_raw_spectral_basic": True,
+        },
+    })
+    out = eng.process(make_rain(rng))
+    feats = out["features"]
+    dbg = out["det_debug"]
+
+    mask = np.asarray(feats["sparse_frame_mask"])
+    oracle_idx = np.flatnonzero(mask).astype(np.int32)
+    got_idx = np.asarray(feats["sparse_frame_idx"])
+    n_cap = int(feats["sparse_captured_count"])
+    assert int(feats["sparse_valid_count"]) == len(oracle_idx)
+    assert n_cap == min(K, len(oracle_idx))
+    assert n_cap > 0, "synthetic rain should gate some frames"
+    np.testing.assert_array_equal(got_idx[:n_cap], oracle_idx[:n_cap])
+    assert np.all(got_idx[n_cap:] == -1)
+
+    # gathered values equal the dense (aligned) features at those frames;
+    # default name selection = full list minus the basic trio + basic trio
+    # (basic flag on), i.e. all 21 raw spectral names
+    names = [k for k in feats if k.startswith("sparse_raw_")]
+    assert len(names) == 21
+    for name in names:
+        dense = np.asarray(dbg[name.removeprefix("sparse_")])
+        got = np.asarray(feats[name])
+        np.testing.assert_allclose(got[:n_cap], dense[oracle_idx[:n_cap]],
+                                   rtol=1e-6)
+        assert np.all(got[n_cap:] == 0.0)
+
+
+def test_feature_dump_sparse_top_select(rng):
+    """'top' selection keeps the K highest-gate frames, time-ordered."""
+    K = 4
+    eng = SpectralNoiseEngine()
+    eng.setup({
+        "sample_rate": FS, "dump_features": True,
+        "return_detector_debug": True,
+        "detector": {
+            **DET, "feature_dump_level": 1,
+            "feature_dump_sparse_enable": True,
+            "feature_dump_sparse_max_frames": K,
+            "feature_dump_sparse_select": "top",
+            "feature_dump_include_raw_spectral_frame_features": False,
+        },
+    })
+    out = eng.process(make_rain(rng))
+    feats = out["features"]
+    mask = np.asarray(feats["sparse_frame_mask"])
+    src = np.asarray(out["det_debug"]["td_block_energy_crest"])
+    got_idx = np.asarray(feats["sparse_frame_idx"])
+    n_cap = int(feats["sparse_captured_count"])
+    if len(np.flatnonzero(mask)) >= K:
+        assert n_cap == K
+        score = np.where(mask, src, -np.inf)
+        oracle = np.sort(np.argsort(-score)[:K])
+        np.testing.assert_array_equal(got_idx[:n_cap], oracle)
+    assert np.all(np.diff(got_idx[:n_cap]) > 0)  # time-ordered
+
+
 def test_long_clip_60s(rng):
     """60-second clip (the transform.py truncation length) runs clean."""
     eng = SpectralNoiseEngine()
