@@ -19,6 +19,13 @@ from audio_processing_tools_tpu.io.mark import (
 )
 
 
+def _utcfromtimestamp(ts) -> "dt.datetime":
+    """Naive-UTC timestamp (utcfromtimestamp is deprecated)."""
+    return dt.datetime.fromtimestamp(float(ts), dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
 class AudioSignal:
     """Wraps an ndarray so pandas stores it in one cell (``parse.py:624-631``)."""
 
@@ -76,7 +83,7 @@ class AudioMetadataHandler:
                 continue
             try:
                 _, metadata = parse_mark_audio_file(audio_data[key])
-                metadata["time"] = dt.datetime.utcfromtimestamp(metadata["time"])
+                metadata["time"] = _utcfromtimestamp(metadata["time"])
                 metadata["source_key"] = key
                 column_order = ["source_key", "device_id", "time", "sample_rate",
                                 "lat", "long", "duration"]

@@ -318,7 +318,7 @@ class TestVectorLabeler:
         with output_widget:
             display(f"Rain label being updated to "
                     f"{'TRUE' if rain_status else 'FALSE'}...")
-            now = dt.datetime.utcnow()
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             row = pd.Series(dtype="object")
             row["source_file"] = audio_file_data["source_file"]
             row["device"] = audio_file_data["device_id"]

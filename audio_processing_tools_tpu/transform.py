@@ -1,10 +1,14 @@
-"""ETL: DSD backfill from raw audio + drop-size weighting.
+"""ETL: DSD + dsp-classification backfills from raw audio.
 
 Parity with the reference ``transform.py``: DSD emulator outputs become
 right-edge-minute DataFrames, drop bins get the inverse-log weighting, and
 ``dsd_from_audio_keys`` runs a DB-cached backfill (fetch -> parse -> first
-60 s -> emulate -> weight -> upsert ``dsd_from_raw_audio``).  S3/DB layers
-are the gated modules in ``io``.
+60 s -> emulate -> weight -> upsert ``dsd_from_raw_audio``).
+``dsp_classification_from_audio_keys`` is the classification twin (the
+reference preserves it commented out at ``transform.py:148-248``): per-minute
+RoE drop counts stamped with ``dsp_classifier_version`` and upserted to
+``dsp_classification_from_raw_audio``. Here the per-minute loop is a single
+vmapped device batch. S3/DB layers are the gated modules in ``io``.
 """
 
 from __future__ import annotations
@@ -25,6 +29,13 @@ from audio_processing_tools_tpu.io.audio import pcm_to_float
 
 RAIN_ENERGY_THRESHOLD = 0.6
 RAIN_LOG_FACTOR = 0.6
+
+
+def _utcfromtimestamp(ts) -> "dt.datetime":
+    """Naive-UTC timestamp (utcfromtimestamp is deprecated)."""
+    return dt.datetime.fromtimestamp(float(ts), dt.timezone.utc).replace(
+        tzinfo=None
+    )
 
 
 def butter_bandpass_filter(data, lowcut, highcut, fs, order=5):
@@ -53,7 +64,7 @@ def emulator_output_to_df(output, device_id, audio_start_timestamp,
     fft_cols = [f"fft{i}" for i in range(38)]
     df = pd.DataFrame(output, columns=dsd_cols + pft_cols + fft_cols)
     if isinstance(audio_start_timestamp, (int, float, np.integer, np.floating)):
-        audio_start_timestamp = dt.datetime.utcfromtimestamp(
+        audio_start_timestamp = _utcfromtimestamp(
             float(audio_start_timestamp)
         )
     timestamps = pd.date_range(
@@ -121,7 +132,7 @@ def process_audio_file_dsd(key: str, local_cache_location: Optional[str],
     dsd_output = emu.process_audio_data(pcm_to_float(sig_to_process), ts=0)
     df = emulator_output_to_df(dsd_output, metadata["device_id"], metadata["time"])
     df["key"] = key
-    df["update_time"] = dt.datetime.utcnow()
+    df["update_time"] = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     df["duration"] = round(len(sig_to_process) / sr)
     df["weighted_dsd_sum"] = add_weighted_dsd_data(
         df, add_to_df=False, add_weighted_dsd_sum=True
@@ -131,6 +142,119 @@ def process_audio_file_dsd(key: str, local_cache_location: Optional[str],
     if reprocess is False:
         df["create_time"] = df["update_time"]
     return df
+
+
+def process_audio_file_classification(
+    key: str, local_cache_location: Optional[str], verbose: bool,
+    reprocess: bool, classifier_params: Optional[dict] = None,
+) -> pd.DataFrame:
+    """Per-key worker: fetch -> parse -> per-minute RoE classification.
+
+    Parity with the reference's preserved ETL (``transform.py:148-248``),
+    but the per-minute Python loop becomes one vmapped device batch
+    (``roe_detect_batch``): all complete 1-minute segments of the recording
+    are classified in a single XLA program.
+    """
+    from audio_processing_tools_tpu.io.fetch import get_device_raw_audio_data
+    from audio_processing_tools_tpu.models.roe import roe_detect_batch
+
+    raw = get_device_raw_audio_data(
+        local_cache_location=local_cache_location, header_only=False,
+        keys=[key], verbose=verbose, max_threads=1, show_progress=False,
+    )[key]
+    sig, metadata = parse_mark_audio_file(raw)
+    metadata = {**metadata, **parse_s3_audio_key(key)}
+    sr = metadata["sample_rate"]
+
+    seconds_per_minute = 60
+    mins_to_process = int(round(len(sig) / sr, 1) // seconds_per_minute)
+    if mins_to_process < 1:
+        raise ValueError(
+            "Cannot process audio file with duration less than 1 minute"
+        )
+    spm = seconds_per_minute * sr
+    minutes = np.stack([
+        pcm_to_float(sig[i * spm : (i + 1) * spm])
+        for i in range(mins_to_process)
+    ])
+    params = dict(classifier_params or {})
+    params.setdefault("sample_rate", sr)
+    out = roe_detect_batch(minutes, **params)
+
+    rows = []
+    for i in range(mins_to_process):
+        rows.append({
+            "key": key,
+            # device DSD rows are right-edge labeled; audio files are
+            # left-edge — shift one minute for consistency (reference
+            # transform.py:211-213)
+            "time": metadata["time"] + dt.timedelta(minutes=1 + i),
+            "rain_drop_count": int(out["rain_drop_count_mod"][i]),
+            "frain_mean": float(out["frain_mean"][i]),
+            "sample_rate": sr,
+        })
+    df = pd.DataFrame(rows)
+    df["dsp_classifier_version"] = _pkg_version
+    df["device"] = metadata["device_id"]
+    df["update_time"] = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    if reprocess is False:
+        df["create_time"] = df["update_time"]
+    return df
+
+
+def dsp_classification_from_audio_keys(
+    s3_file_keys: List[str], db_engine, reprocess: bool = False,
+    verbose: bool = False, local_cache_location: str = "raw_audio_cache",
+    max_workers: Optional[int] = None,
+    classifier_params: Optional[dict] = None,
+) -> pd.DataFrame:
+    """DB-cached dsp-classification backfill over S3 keys.
+
+    Live re-implementation of the reference's preserved-but-commented ETL
+    (``transform.py:148-248, 408-516``): check the
+    ``dsp_classification_from_raw_audio`` cache, classify missing keys
+    minute by minute, stamp ``dsp_classifier_version``, upsert.
+    """
+    from audio_processing_tools_tpu.io.db import get_db_data, upsert_df
+
+    validate_db_engine(db_engine)
+
+    query = (
+        "SELECT * FROM dsp_classification_from_raw_audio "
+        f"WHERE key IN {tuple(s3_file_keys)}"
+    )
+    existing = get_db_data(query, db_engine)
+    existing_keys = set(existing["key"].tolist()) if not existing.empty else set()
+
+    keys_to_process = (
+        list(s3_file_keys) if reprocess
+        else [k for k in s3_file_keys if k not in existing_keys]
+    )
+
+    results = []
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futures = {
+            ex.submit(process_audio_file_classification, k,
+                      local_cache_location, verbose, reprocess,
+                      classifier_params): k
+            for k in keys_to_process
+        }
+        for fut in as_completed(futures):
+            results.append(fut.result())
+            if verbose:
+                print(f"Classified key: {futures[fut]}")
+
+    processed = pd.concat(results, ignore_index=True) if results else pd.DataFrame()
+
+    if not processed.empty:
+        upsert_df(processed.set_index(["key", "time"]),
+                  "dsp_classification_from_raw_audio", db_engine)
+
+    if not reprocess:
+        if not processed.empty:
+            return pd.concat([existing, processed], ignore_index=True)
+        return existing
+    return processed
 
 
 def dsd_from_audio_keys(s3_file_keys: List[str], db_engine, reprocess: bool = False,

@@ -108,3 +108,104 @@ def test_get_real_fft_df(rng):
     df = get_real_fft_df(sig, FS)
     peak_freq = df.loc[df["amplitude"].idxmax(), "frequency"]
     assert abs(peak_freq - 500) < 2
+
+
+def test_dsp_classification_from_audio_keys_fake_db(rng, monkeypatch, tmp_path):
+    """Classification ETL (reference transform.py:148-248) on a fake DB:
+    cache check, per-minute vmapped classification, version stamping,
+    upsert to dsp_classification_from_raw_audio, cache skip on re-run."""
+    import audio_processing_tools_tpu.transform as tr
+    import audio_processing_tools_tpu.io.db as db
+    import audio_processing_tools_tpu.io.fetch as fetch
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+    from audio_processing_tools_tpu import __version__
+
+    def _roe_rain(seconds=120, fn=500.0, drops_per_10s=60):
+        # harmonic-ping rain the RoE classifier is built for
+        n = FS * seconds
+        x = 0.003 * rng.standard_normal(n)
+        k = np.arange(1000)
+        ping = sum((1.0 / h) * np.sin(2 * np.pi * fn * h * k / FS)
+                   for h in range(1, 6))
+        for t0 in rng.integers(0, n - 1200, drops_per_10s * seconds // 10):
+            x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+        return np.clip(x, -1, 1)
+
+    ts = 1700000000
+    keys = [f"audio/DEV{i}/field/{ts + 60 * i}" for i in range(2)]
+    blobs = {
+        k: write_mark_audio_file(
+            (_roe_rain() * 32767).astype(np.int16),
+            sample_rate=FS, timestamp=ts, device_id=f"DEV{i}",
+        )
+        for i, k in enumerate(keys)
+    }
+
+    calls = {"upserts": [], "queries": []}
+
+    def fake_get_device_raw_audio_data(keys=(), **kw):
+        return {k: blobs[k] for k in keys}
+
+    def fake_get_db_data(query, engine, **kw):
+        calls["queries"].append(query)
+        return fake_get_db_data.existing
+
+    fake_get_db_data.existing = pd.DataFrame()
+
+    def fake_upsert_df(df, table, engine, **kw):
+        calls["upserts"].append((table, df.reset_index()))
+
+    monkeypatch.setattr(tr, "validate_db_engine", lambda e: None)
+    monkeypatch.setattr(db, "get_db_data", fake_get_db_data)
+    monkeypatch.setattr(db, "upsert_df", fake_upsert_df)
+    monkeypatch.setattr(fetch, "get_device_raw_audio_data",
+                        fake_get_device_raw_audio_data)
+
+    out = tr.dsp_classification_from_audio_keys(
+        keys, db_engine=object(), verbose=False,
+        local_cache_location=str(tmp_path),
+    )
+    # 2 keys x 2 complete minutes each
+    assert len(out) == 4
+    assert set(out["key"]) == set(keys)
+    for col in ("time", "rain_drop_count", "frain_mean", "sample_rate",
+                "dsp_classifier_version", "device", "update_time",
+                "create_time"):
+        assert col in out.columns, col
+    assert (out["dsp_classifier_version"] == __version__).all()
+    # right-edge minute labels: start + 1 min, start + 2 min
+    t0 = dt.datetime.fromtimestamp(ts)
+    k0 = out[out["key"] == keys[0]].sort_values("time")
+    assert list(k0["time"]) == [t0 + dt.timedelta(minutes=1),
+                                t0 + dt.timedelta(minutes=2)]
+    assert (k0["device"] == "DEV0").all()
+    # heavy synthetic rain: the classifier should count drops
+    assert out["rain_drop_count"].max() > 0
+
+    table, upserted = calls["upserts"][0]
+    assert table == "dsp_classification_from_raw_audio"
+    assert len(upserted) == 4
+
+    # second run: DB cache now covers the keys -> nothing reprocessed
+    fake_get_db_data.existing = out
+    out2 = tr.dsp_classification_from_audio_keys(
+        keys, db_engine=object(), local_cache_location=str(tmp_path),
+    )
+    assert len(calls["upserts"]) == 1  # no new upsert
+    assert len(out2) == len(out)
+
+
+def test_classification_worker_rejects_short_audio(rng, monkeypatch, tmp_path):
+    import audio_processing_tools_tpu.io.fetch as fetch
+    import audio_processing_tools_tpu.transform as tr
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+
+    blob = write_mark_audio_file(
+        (rng.standard_normal(FS * 30) * 500).astype(np.int16),
+        sample_rate=FS, timestamp=1700000000, device_id="SHORT",
+    )
+    monkeypatch.setattr(fetch, "get_device_raw_audio_data",
+                        lambda keys=(), **kw: {k: blob for k in keys})
+    with pytest.raises(ValueError, match="less than 1 minute"):
+        tr.process_audio_file_classification(
+            "audio/SHORT/field/1700000000", str(tmp_path), False, False)
