@@ -321,6 +321,7 @@ class SpectralNoiseEngine:
 
         if cfg.suppressor_bypass:
             noise_psd = jnp.zeros_like(P)
+            N_band_all = noise_psd[band_rows, :]
             G = jnp.ones_like(P)
             S_hat = S  # None when the complex STFT was skipped
             y = x_proc if cfg.compute_output_audio else None
@@ -381,6 +382,11 @@ class SpectralNoiseEngine:
                 "snr_gate": snr_gate,
                 "detector_noise_psd": detector_noise_psd,
                 "detector_noise_psd_lag": detector_noise_psd_lag,
+                # band-limited power/noise panels (reference debug keys,
+                # visualize_noise_output.py:54-58, 641-727)
+                "P_band_all": P_band_all,
+                "N_band_all": N_band_all,
+                "freqs_band": jnp.asarray(freqs[band_mask]),
             }
         if cfg.return_spectra:
             out["S"] = S

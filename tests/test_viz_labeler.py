@@ -41,6 +41,7 @@ def engine_out():
         "sample_rate": FS, "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
         "return_debug": True, "return_detector_debug": True,
         "return_noise_psd": True, "compute_output_audio": True,
+        "return_spectra": True, "return_filtered_audio": True,
     })
     return eng.process(x)
 
@@ -92,3 +93,116 @@ def test_labeler_save_for_review(tmp_path, rng):
     lab.save_file_for_review(df.iloc[0], blob, Output())
     saved = list(tmp_path.glob("*.wav"))
     assert len(saved) == 1 and saved[0].name == "DEV1_k1.wav"
+
+
+# ---------------------------------------------------------------------------
+# content-level dashboard tests (panel/series counts, not just "no crash")
+
+
+def test_overview_dashboard_panel_content(engine_out):
+    fig = show_noise_processing_results(engine_out, FS, play_audio=False)
+    # waveform + S + S_hat + noise PSD + G + P_band_all + N_band_all
+    assert len(fig.axes) >= 7
+    wf = fig.axes[0]
+    assert len(wf.lines) == 2  # original + denoised overlay
+    labels = [ln.get_label() for ln in wf.lines]
+    assert "Original" in labels and "Denoised" in labels
+    # spectrogram/heatmap panels carry QuadMesh artists
+    heat_axes = [ax for ax in fig.axes if ax.collections]
+    assert len(heat_axes) >= 4  # S, S_hat, noise PSD, G (+colorbars excluded)
+    titles = " | ".join(ax.get_title() for ax in fig.axes)
+    for frag in ("Waveforms", "Original spectrogram", "Denoised spectrogram",
+                 "noise PSD", "Gain G", "P_band_all", "N_band_all"):
+        assert frag in titles, frag
+
+
+def test_overview_dashboard_playback_widget(engine_out, monkeypatch):
+    """Audio playback panels call IPython.display.Audio (reference :32-36)."""
+    import IPython.display as ipd
+
+    played = []
+    monkeypatch.setattr(ipd, "Audio", lambda *a, **k: played.append(k) or "w")
+    monkeypatch.setattr(ipd, "display", lambda *a, **k: None)
+    show_noise_processing_results(engine_out, FS, play_audio=True)
+    assert len(played) == 2  # original + denoised
+    assert all(k.get("rate") == FS for k in played)
+
+
+def test_classifier_debug_panels(engine_out):
+    dbg = engine_out["det_debug"]
+    fig = plot_frame_classifier_debug(dbg, engine_out["times"])
+    assert len(fig.axes) == 5
+    score_ax = fig.axes[0]
+    labels = {ln.get_label() for ln in score_ax.lines}
+    assert "rain_conf" in labels and "noise_conf" in labels
+    # audio panel prepends a row
+    x = np.asarray(engine_out["x_filt"])
+    fig2 = plot_frame_classifier_debug(dbg, engine_out["times"], audio=x, sr=FS)
+    assert len(fig2.axes) == 6
+    assert len(fig2.axes[0].lines) == 1  # the waveform
+
+
+def test_classifier_tuning_panels_and_window(engine_out):
+    dbg = engine_out["det_debug"]
+    fig = plot_frame_classifier_tuning(dbg, times=engine_out["times"])
+    assert len(fig.axes) == 5  # confidence + 4 flux panels
+    conf_ax = fig.axes[0]
+    labels = {ln.get_label() for ln in conf_ax.lines}
+    assert "rain_conf" in labels
+    # threshold overlays drawn as horizontal lines
+    for ax in fig.axes[1:]:
+        hlines = [ln for ln in ax.lines if ln.get_linestyle() == "--"]
+        assert len(hlines) == 1
+    # time windowing restricts the plotted span
+    times = np.asarray(engine_out["times"])
+    figw = plot_frame_classifier_tuning(dbg, times=times, t0=0.5, t1=1.0)
+    xs = figw.axes[0].lines[0].get_xdata()
+    assert xs.min() >= 0.5 - 1e-6 and xs.max() <= 1.0 + 1e-6
+
+
+def test_suppressor_debug_panels(engine_out):
+    fig = plot_noise_suppressor_debug(engine_out["debug"], engine_out["times"])
+    titles = " | ".join(ax.get_title() for ax in fig.axes)
+    for frag in ("Gain G", "P_band_all", "N_band_all", "PSD update"):
+        assert frag in titles, frag
+    # empty debug -> graceful fallback figure with a message
+    fig2 = plot_noise_suppressor_debug({})
+    assert len(fig2.axes) == 1 and fig2.axes[0].texts
+
+
+def test_labeler_process_index_plays_audio(tmp_path, rng, monkeypatch):
+    """The labeling loop surfaces the IPython audio widget
+    (reference labeler.py:216-262)."""
+    import contextlib
+    import IPython.display as ipd
+    import audio_processing_tools_tpu.io.fetch as fetch
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+    from ipywidgets import Output
+
+    pcm = (rng.standard_normal(FS * 2) * 1000).astype(np.int16)
+    blob = write_mark_audio_file(pcm, sample_rate=FS, device_id="DEV1")
+    monkeypatch.setattr(fetch, "get_device_raw_audio_data",
+                        lambda keys=(), **kw: {k: blob for k in keys})
+
+    df = pd.DataFrame({
+        "source_file": ["k1"], "device_id": ["DEV1"],
+        "time": [pd.Timestamp("2024-01-01")],
+    })
+    lab = TestVectorLabeler(df, db_engine=None, out_folder=str(tmp_path),
+                            local_audio_cache=str(tmp_path))
+
+    played = []
+
+    class FakeAudio:
+        def __init__(self, data=None, rate=None, **kw):
+            played.append((np.asarray(data), rate))
+
+    monkeypatch.setattr(ipd, "Audio", FakeAudio)
+    lab.process_index("k1", next_index_callback=lambda: None,
+                      output_widget=Output())
+    assert len(played) == 1
+    data, rate = played[0]
+    assert rate == FS
+    # first <=15 s segment, float-scaled
+    assert data.shape[0] == min(len(pcm), 15 * FS)
+    assert np.abs(data).max() <= 1.0
