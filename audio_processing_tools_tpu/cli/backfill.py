@@ -38,28 +38,57 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=None, help="parquet output path")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() (multi-host slice)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for --distributed "
+                         "(e.g. localhost:12340; default: auto-detect)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="process count for --distributed (default: auto)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="this process's id for --distributed (default: auto)")
+    ap.add_argument("--cpu-devices", type=int, default=None,
+                    help="force N virtual CPU devices per process (testing)")
     ap.add_argument("--dsd", action="store_true",
                     help="also emit per-minute DSD vectors (host_analysis)")
     args = ap.parse_args(argv)
 
+    if args.cpu_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_devices}"
+        ).strip()
+
     import jax
 
+    if args.cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
     if args.distributed:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
     from audio_processing_tools_tpu.io.audio import get_keys, get_input_data
-    from audio_processing_tools_tpu.parallel import make_mesh, ShardedRainPipeline
+    from audio_processing_tools_tpu.parallel import (
+        local_rows,
+        make_mesh,
+        ShardedRainPipeline,
+    )
 
     FS = 11162
     keys = get_keys(args.input_type, test_vector_path=args.path,
                     csv_inp_file=args.csv)
     if args.max_files:
         keys = keys[: args.max_files]
-    # shard the work list across processes (DCN scatter)
+    # Every host computes the SAME global batch schedule from the full key
+    # list and loads only its stripe of each global batch (DCN only for the
+    # work-list; audio bytes never cross hosts). Identical step counts keep
+    # the collective program in lockstep across processes.
     pid, nproc = jax.process_index(), jax.process_count()
-    my_keys = keys[pid::nproc]
-    print(f"[host {pid}/{nproc}] {len(my_keys)} of {len(keys)} keys")
+    print(f"[host {pid}/{nproc}] {len(keys[pid::nproc])} of {len(keys)} keys")
 
     mesh = make_mesh()
     pipe = ShardedRainPipeline(
@@ -71,23 +100,24 @@ def main(argv=None) -> None:
     t0 = time.time()
     rows = []
     agg_totals = {"total_rain_frames": 0, "total_rain_clips": 0, "total_clips": 0}
-    for start in range(0, len(my_keys), args.batch):
-        batch_keys = my_keys[start : start + args.batch]
-        data = get_input_data(batch_keys, args.input_type, FS, args.clip_sec,
-                              True, None, None, 2)
-        if not data:
-            continue
+    n_samp = int(FS * args.clip_sec)
+    for start in range(0, len(keys), args.batch):
+        gkeys = keys[start : start + args.batch]
+        my_keys = gkeys[pid::nproc]
+        # equal local rows on every host (collective lockstep): pad with
+        # silence rows up to the widest stripe
+        b_local = -(-len(gkeys) // nproc)
+        data = get_input_data(my_keys, args.input_type, FS, args.clip_sec,
+                              True, None, None, 2) if my_keys else {}
         file_keys = list(data.keys())
-        mat = np.stack([
-            np.asarray(v["file_contents"], np.float32)[: int(FS * args.clip_sec)]
-            for v in data.values()
-        ])
+        mat = np.zeros((b_local, n_samp), np.float32)
+        for i, fk in enumerate(file_keys):
+            v = np.asarray(data[fk]["file_contents"], np.float32)[:n_samp]
+            mat[i, : v.shape[0]] = v
         out = pipe.step(mat)
-        pc = {k: np.asarray(v)[: len(file_keys)] for k, v in out["per_clip"].items()
-              if np.asarray(v).ndim <= 1 or k in ("rain_frame_count",)}
-        counts = np.asarray(out["per_clip"]["rain_frame_count"])[: len(file_keys)]
-        is_rain = np.asarray(out["per_clip"]["clip_is_rain"])[: len(file_keys)]
-        frac = np.asarray(out["per_clip"]["clip_rain_fraction"])[: len(file_keys)]
+        counts = local_rows(out["per_clip"]["rain_frame_count"])
+        is_rain = local_rows(out["per_clip"]["clip_is_rain"])
+        frac = local_rows(out["per_clip"]["clip_rain_fraction"])
         for i, fk in enumerate(file_keys):
             rows.append({
                 "file_key": fk,
@@ -96,10 +126,12 @@ def main(argv=None) -> None:
                 "clip_is_rain": bool(is_rain[i]),
                 "clip_rain_fraction": float(frac[i]),
             })
+        # replicated GLOBAL aggregates (ICI/Gloo all-reduce) — identical on
+        # every host; silence-pad rows contribute zero rain frames
         agg = out["aggregates"]
         agg_totals["total_rain_frames"] += int(np.asarray(agg["total_rain_frames"]))
         agg_totals["total_rain_clips"] += int(np.asarray(agg["total_rain_clips"]))
-        agg_totals["total_clips"] += len(file_keys)
+        agg_totals["total_clips"] += len(gkeys)
 
         if args.dsd:
             from audio_processing_tools_tpu.host_analysis.dsd_emulator import (

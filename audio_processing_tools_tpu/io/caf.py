@@ -145,3 +145,15 @@ def rearrange(input_file_name: str, output_file_name: str) -> None:
         payload = f.read()
     with open(output_file_name, "wb") as f:
         f.write(rearrange_bytes(payload))
+
+
+if __name__ == "__main__":  # CLI parity with reference alac_utils.py:428-437
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Rewrap a firmware ALAC stream into a CAF container"
+    )
+    ap.add_argument("input_file")
+    ap.add_argument("output_file")
+    _a = ap.parse_args()
+    rearrange(_a.input_file, _a.output_file)

@@ -26,6 +26,8 @@ from audio_processing_tools_tpu.io.audio import pcm_to_float, write_wav
 
 
 class TestVectorLabeler:
+    __test__ = False  # reference-parity name starts with "Test"; not a test
+
     def __init__(
         self,
         audio_df: pd.DataFrame,

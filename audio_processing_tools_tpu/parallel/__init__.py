@@ -9,7 +9,8 @@ work-list scatter and host sinks.
 from audio_processing_tools_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
+    local_rows,
     ShardedRainPipeline,
 )
 
-__all__ = ["make_mesh", "shard_batch", "ShardedRainPipeline"]
+__all__ = ["make_mesh", "shard_batch", "local_rows", "ShardedRainPipeline"]

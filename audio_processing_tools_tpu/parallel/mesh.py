@@ -45,9 +45,28 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "files") -> Mesh:
 
 
 def shard_batch(xb: np.ndarray, mesh: Mesh, axis: str = "files"):
-    """Place a (B, N) batch sharded over the mesh's file axis."""
+    """Place a (B, N) batch sharded over the mesh's file axis.
+
+    Single-process: ``xb`` is the global batch. Multi-process (multi-host
+    slice): ``xb`` is this host's *local* rows — every process contributes
+    its equal-sized shard of the global array (DCN-free; data never leaves
+    the host that loaded it).
+    """
     sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(np.asarray(xb, np.float32))
+        )
     return jax.device_put(jnp.asarray(xb, jnp.float32), sharding)
+
+
+def local_rows(a) -> np.ndarray:
+    """This host's rows of an axis-0-sharded global array, in order."""
+    shards = sorted(
+        a.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 class ShardedRainPipeline:
@@ -129,12 +148,25 @@ class ShardedRainPipeline:
 
     # ------------------------------------------------------------------
     def step(self, xb) -> Dict[str, Any]:
-        """One sharded batch step. ``xb`` is (B, N) with B divisible by the
-        mesh size (pad with silence clips otherwise)."""
-        n_dev = self.mesh.devices.size
+        """One sharded batch step.
+
+        Single-process: ``xb`` is the global (B, N) batch. Multi-process:
+        ``xb`` is this host's local rows, and every host must call ``step``
+        with the SAME local row count (the global batch is the processes'
+        shards concatenated). Batches are silence-padded to the device
+        count; per-clip outputs stay sharded (use :func:`local_rows` to read
+        this host's rows), aggregates come back replicated.
+        """
+        if jax.process_count() > 1:
+            n_pad_to = sum(
+                d.process_index == jax.process_index()
+                for d in self.mesh.devices.flat
+            )
+        else:
+            n_pad_to = self.mesh.devices.size
         B = xb.shape[0]
-        if B % n_dev != 0:
-            pad = n_dev - (B % n_dev)
+        if B % n_pad_to != 0:
+            pad = n_pad_to - (B % n_pad_to)
             xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
         xb_dev = shard_batch(xb, self.mesh, self.axis)
         out = self._get_fn(xb_dev.shape)(xb_dev)

@@ -149,6 +149,12 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
     flux_min``, ``new_rain_min_support_count``, ``td_gate_threshold``,
     ``clip_rain_min_frames``.
 
+    Boundary: STRUCTURAL parameters (``mode_bands``, ``n_fft``, ``hop``,
+    prefilter settings, anything that changes the front-end computation) are
+    NOT part of the vmapped sweep — put those in ``base_params`` (one
+    front-end compile per structural setting) or use :func:`grid_search` /
+    :func:`grid_search_parallel`, which recompile per combo.
+
     Returns one result dict (accuracy + confusion counts) per combo.
     """
     import jax

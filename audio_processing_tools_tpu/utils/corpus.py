@@ -1,0 +1,115 @@
+"""Deterministic synthetic labeled-corpus generator.
+
+The reference's real test strategy is corpus accuracy over labeled "test
+vectors" — local dirs with ``True``/``False`` in filenames (reference
+``audio_io.py:218-225``) or DB labels — run through a classifier and split
+into FP/FN (``edge/dsp_rain_detection.py:3248-3282``). This module
+synthesizes such corpora with known ground truth so the accuracy harness can
+be pinned in CI: every clip class models a real acoustic condition the
+Mark-3 sensor sees.
+
+Clip classes (label = raining?):
+
+  * ``rain_heavy``   (True)  — dense damped multi-mode pings over noise
+  * ``rain_light``   (True)  — sparse, weaker pings
+  * ``noise``        (False) — steady broadband sensor noise
+  * ``wind``         (False) — low-frequency gust bands + broadband bursts
+  * ``tonal``        (False) — steady machine hum (strong tones, no pings)
+
+All randomness flows from the caller's seed; the generator is pure.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_FS = 11162
+
+# the Mark-3 resonance modes the detector listens to
+_PING_MODES: Tuple[Tuple[float, float], ...] = (
+    (520.0, 1.0), (900.0, 0.5), (1600.0, 0.35), (2450.0, 0.25),
+)
+
+CLIP_CLASSES = ("rain_heavy", "rain_light", "noise", "wind", "tonal")
+CLASS_IS_RAIN = {
+    "rain_heavy": True, "rain_light": True,
+    "noise": False, "wind": False, "tonal": False,
+}
+
+
+def _ping(k: np.ndarray, fs: int, decay: float = 60.0) -> np.ndarray:
+    tone = sum(a * np.sin(2 * np.pi * f * k / fs) for f, a in _PING_MODES)
+    return np.exp(-k / decay) * tone
+
+
+def synth_clip(kind: str, rng: np.random.Generator, *, fs: int = DEFAULT_FS,
+               seconds: float = 2.0) -> np.ndarray:
+    """One float32 clip of the given class in [-1, 1]."""
+    n = int(fs * seconds)
+    x = 0.006 * rng.standard_normal(n)
+    k = np.arange(800)
+    if kind == "rain_heavy":
+        for t0 in rng.integers(fs // 4, n - 1000, int(10 * seconds)):
+            x[t0 : t0 + 800] += 0.5 * _ping(k, fs)
+    elif kind == "rain_light":
+        for t0 in rng.integers(fs // 4, n - 1000, max(2, int(3 * seconds))):
+            x[t0 : t0 + 800] += 0.3 * _ping(k, fs)
+    elif kind == "noise":
+        x = 0.02 * rng.standard_normal(n)
+    elif kind == "wind":
+        # gusts: slowly-modulated low-frequency rumble + broadband swell
+        t = np.arange(n) / fs
+        envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.2, 0.5) * t))
+        rumble = np.cumsum(rng.standard_normal(n))
+        rumble = rumble - np.linspace(rumble[0], rumble[-1], n)
+        rumble /= max(np.abs(rumble).max(), 1e-9)
+        x = 0.15 * envelope * rumble + 0.03 * envelope * rng.standard_normal(n)
+    elif kind == "tonal":
+        t = np.arange(n) / fs
+        for f in (487.0, 974.0, 1461.0):
+            x += 0.08 * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    else:
+        raise ValueError(f"unknown clip class: {kind!r}")
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+def make_labeled_corpus(
+    seed: int = 7, *, fs: int = DEFAULT_FS, seconds: float = 2.0,
+    counts: Optional[Dict[str, int]] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Deterministic corpus: (clips (B, N) float32, labels (B,) bool, kinds)."""
+    counts = counts or {
+        "rain_heavy": 6, "rain_light": 4, "noise": 6, "wind": 4, "tonal": 4,
+    }
+    rng = np.random.default_rng(seed)
+    clips, labels, kinds = [], [], []
+    for kind in CLIP_CLASSES:
+        for _ in range(counts.get(kind, 0)):
+            clips.append(synth_clip(kind, rng, fs=fs, seconds=seconds))
+            labels.append(CLASS_IS_RAIN[kind])
+            kinds.append(kind)
+    return np.stack(clips), np.asarray(labels, bool), kinds
+
+
+def write_corpus_dir(
+    out_dir: str, clips: np.ndarray, labels: Sequence[bool],
+    kinds: Optional[Sequence[str]] = None, *, fs: int = DEFAULT_FS,
+) -> List[str]:
+    """Write a corpus as MARK ``.bin`` test vectors with the reference's
+    True/False filename labeling convention; returns the file paths."""
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, (clip, raining) in enumerate(zip(clips, labels)):
+        kind = kinds[i] if kinds is not None else "clip"
+        name = f"{kind}_{i:03d}_{'True' if raining else 'False'}.bin"
+        pcm = (np.clip(clip, -1, 1) * 32767).astype(np.int16)
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(write_mark_audio_file(pcm, sample_rate=fs, timestamp=i))
+        paths.append(path)
+    return paths
