@@ -82,33 +82,37 @@ def main() -> None:
             for i in range(B)
         ]
 
-    def decode_batch(files):
+    def decode_batch(files, out=None):
         # host-side container decode: the north-star metric's "decode" stage
-        return np.stack([parse_mark_audio_file(fc)[0] for fc in files])
+        if out is None:
+            return np.stack([parse_mark_audio_file(fc)[0] for fc in files])
+        for i, fc in enumerate(files):
+            out[i] = parse_mark_audio_file(fc)[0]
+        return out
+
+    # pipeline depth: keep 2 batches in flight (measured sweet spot on the
+    # tunnel: transfer is host-blocking, so depth hides compute + fetch)
+    DEPTH = 2
 
     def run_once(B, iters):
         mark_batches = [make_mark_batch(B) for _ in range(2)]
-        # warm-up / compile
-        r = step(jax.device_put(jnp.asarray(decode_batch(mark_batches[0]))))
+        # preallocated decode buffers (first-touch page faults on this host
+        # cost seconds per 28 MB; reuse keeps decode at ~35 ms)
+        mats = [np.empty((B, clip_len), np.int16) for _ in range(DEPTH + 1)]
+
+        # warm-up: compile + touch every buffer and both file sets
+        for j in range(len(mats)):
+            r = step(jax.device_put(decode_batch(mark_batches[j % 2], mats[j])))
         np.asarray(r["rain_frame_count"])
 
         t0 = time.perf_counter()
-        inflight = jax.device_put(jnp.asarray(decode_batch(mark_batches[0])))
-        results = []
+        inflight = []
         for i in range(iters):
-            current = inflight
-            # double-buffer: decode + stage the next batch while this one
-            # computes on device
-            if i + 1 < iters:
-                inflight = jax.device_put(
-                    jnp.asarray(decode_batch(mark_batches[(i + 1) % 2]))
-                )
-            out = step(current)
-            results.append(out)
-            # drain periodically so queues stay bounded
-            if len(results) >= 2:
-                np.asarray(results.pop(0)["rain_frame_count"])
-        for out in results:
+            m = decode_batch(mark_batches[i % 2], mats[i % len(mats)])
+            inflight.append(step(jax.device_put(m)))
+            while len(inflight) > DEPTH:
+                np.asarray(inflight.pop(0)["rain_frame_count"])
+        for out in inflight:
             np.asarray(out["rain_frame_count"])
         dt = (time.perf_counter() - t0) / iters
         return B * args.clip_sec / dt
