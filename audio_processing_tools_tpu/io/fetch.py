@@ -31,13 +31,31 @@ def _require_boto3():
         ) from e
 
 
+_default_session = None
+
+
 def get_prod_boto_session(profile_name: Optional[str] = None,
                           aws_access_key_id: Optional[str] = None,
                           aws_secret_access_key: Optional[str] = None,
                           aws_region: Optional[str] = "us-east-1"):
-    """boto3 session with profile/key fallback (``fetch.py:19-49``)."""
+    """boto3 session with profile/key fallback (``fetch.py:19-49``).
+
+    The default (no-arg) session is memoized so lazy per-key fetches in the
+    threaded pool share one session instead of rebuilding credentials.
+    """
+    global _default_session
+    if (profile_name is None and aws_access_key_id is None
+            and aws_secret_access_key is None and _default_session is not None):
+        return _default_session
     boto3 = _require_boto3()
     from botocore.exceptions import NoCredentialsError, ProfileNotFound
+
+    def _memo(sess):
+        global _default_session
+        if (profile_name is None and aws_access_key_id is None
+                and aws_secret_access_key is None):
+            _default_session = sess
+        return sess
 
     try:
         if aws_access_key_id and aws_secret_access_key:
@@ -48,10 +66,10 @@ def get_prod_boto_session(profile_name: Optional[str] = None,
             )
         if profile_name:
             return boto3.session.Session(profile_name=profile_name)
-        return boto3.session.Session(profile_name=PROD_AWS_PROFILE)
+        return _memo(boto3.session.Session(profile_name=PROD_AWS_PROFILE))
     except (ProfileNotFound, NoCredentialsError):
         print("WARNING: Could not find AWS credentials. Using default session.")
-        return boto3.session.Session()
+        return _memo(boto3.session.Session())
 
 
 def fetch_raw_audio_from_s3(key_to_fetch: str, bucket: str, boto_session=None,
@@ -129,9 +147,11 @@ def get_device_raw_audio_data(device: Optional[str] = None,
                               buckets: Optional[List[str]] = None
                               ) -> Dict[str, bytes]:
     """Threaded multi-key fetch with per-key bucket fallback
-    (``fetch.py:229-353``).  Returns {key: bytes}."""
-    if boto_session is None:
-        boto_session = get_prod_boto_session()
+    (``fetch.py:229-353``).  Returns {key: bytes}.
+
+    The boto session is created lazily on the first actual S3 request, so
+    fully-cached fetches work on hosts without boto3/credentials.
+    """
     if keys is None and (start_date is None or end_date is None or device is None):
         raise ValueError(
             "Must provide start_date + end_date + device OR a list of keys"
