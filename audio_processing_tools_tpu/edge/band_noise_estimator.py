@@ -7,3 +7,9 @@ from audio_processing_tools_tpu.models.band_noise import (  # noqa: F401
     hz_to_bin,
     db_to_ratio,
 )
+from audio_processing_tools_tpu.models.band_noise_streaming import (  # noqa: F401
+    BandNoiseEstimator,
+    BandNoiseFrameOut,
+    BandNoiseEnergyStats,
+    NoiseFrameDetector,
+)

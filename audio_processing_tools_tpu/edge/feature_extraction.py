@@ -8,6 +8,7 @@ from audio_processing_tools_tpu.ops.features_td import (  # noqa: F401
 )
 from audio_processing_tools_tpu.ops.features_spec import (  # noqa: F401
     RAW_SPECTRAL_FEATURE_NAMES,
+    resolve_np_dtype,
     extract_raw_spectral_features as extract_raw_spectral_shape_features_inline,
     clip_spectral_occupancy as compute_clip_spectral_occupancy_stats,
     default_spectral_occupancy_bands,

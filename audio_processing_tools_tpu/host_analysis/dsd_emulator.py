@@ -287,6 +287,31 @@ def read_audio_file(audio_file: str, read_size: int, read_offset: int,
 # ---------------------------------------------------------------------------
 
 
+def write_results(csv_file_name: str, csv_columns, data) -> None:
+    """Minute-vector CSV writer (reference
+    ``device_dsd_processing_emulator.py:370-375``)."""
+    import csv
+
+    with open(csv_file_name, mode="w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=csv_columns)
+        writer.writeheader()
+        for row in data:
+            writer.writerow(row)
+
+
+def plot_data(val, duration, title, ax=None):
+    """Simple waveform/series panel (reference ``:337-368`` headless form)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 3))
+    t = np.linspace(0.0, float(duration), len(val))
+    ax.plot(t, np.asarray(val), linewidth=0.7)
+    ax.set_title(title)
+    ax.set_xlabel("time (s)")
+    return ax
+
+
 def dsd_minutes_vectorized(audio: np.ndarray, fs: int = 11162,
                            frame_length: int = 512, ts: float = 0.0
                            ) -> np.ndarray:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io as _io
 import struct
+from dataclasses import dataclass
 from typing import Tuple
 
 MIN_CAFF_PACKET_TABLE_HEADER_SIZE = 24
@@ -51,11 +52,49 @@ def read_ber_integer(buf: bytes, max_bytes: int) -> Tuple[int, int]:
     return value, used
 
 
-def _packet_table_geometry(
+@dataclass
+class AudioFormatDescription:
+    """CAF ``desc`` chunk payload (reference ``alac_utils.py:23-35``);
+    fields are serialized big-endian."""
+
+    sample_rate: float = DEFAULT_SAMPLE_RATE
+    format_id: int = ALAC_FORMAT_APPLE_LOSSLESS
+    format_flags: int = 1
+    bytes_per_packet: int = 0
+    frames_per_packet: int = ALAC_DEFAULT_FRAMES_PER_PACKET
+    channels_per_frame: int = 1
+    bits_per_channel: int = 0
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            ">dIIIIII", float(self.sample_rate), self.format_id,
+            self.format_flags, self.bytes_per_packet, self.frames_per_packet,
+            self.channels_per_frame, self.bits_per_channel,
+        )
+
+
+@dataclass
+class CAFPacketTableHeader:
+    """CAF ``pakt`` chunk header (reference ``alac_utils.py:37-53``)."""
+
+    number_packets: int = 0
+    number_valid_frames: int = 0
+    priming_frames: int = 0
+    remainder_frames: int = 0
+
+    def pack(self) -> bytes:
+        return struct.pack(
+            ">QQII", self.number_packets, self.number_valid_frames,
+            self.priming_frames, self.remainder_frames,
+        )
+
+
+def build_base_packet_table(
     pcm_bytes: int, bytes_per_frame: int = 2,
     frames_per_packet: int = ALAC_DEFAULT_FRAMES_PER_PACKET,
-) -> Tuple[int, int, int, int]:
-    """(n_packets, n_valid_frames, remainder_frames, max_table_size)."""
+) -> Tuple[CAFPacketTableHeader, int]:
+    """Packet-table geometry from the fixed PCM capture size
+    (reference ``alac_utils.py:56-93``); returns (header, max_table_size)."""
     n_valid = pcm_bytes // bytes_per_frame
     n_packets = n_valid // frames_per_packet
     remainder = frames_per_packet - (n_valid - n_packets * frames_per_packet)
@@ -63,7 +102,58 @@ def _packet_table_geometry(
         n_packets += 1
     max_packet = bytes_per_frame * frames_per_packet + ALAC_MAX_ESCAPE_HEADER_BYTES
     entry_bytes = 2 if max_packet < 16384 else 3
-    return n_packets, n_valid, remainder, entry_bytes * n_packets
+    header = CAFPacketTableHeader(
+        number_packets=n_packets, number_valid_frames=n_valid,
+        priming_frames=0, remainder_frames=remainder,
+    )
+    return header, entry_bytes * n_packets
+
+
+def write_caff_fcaff_chunk(out) -> None:
+    """``caff`` file header, version 1 (reference ``alac_utils.py:96``)."""
+    out.write(b"caff\x00\x01\x00\x00")
+
+
+def write_caff_desc_chunk(out, desc: AudioFormatDescription) -> None:
+    """12-byte chunk header + 32-byte description
+    (reference ``alac_utils.py:142``)."""
+    out.write(b"desc" + b"\x00" * 7 + bytes([32]))
+    out.write(desc.pack())
+
+
+def write_caff_kuki_chunk(out, cookie: bytes = FIRMWARE_MAGIC_COOKIE) -> None:
+    """Magic-cookie chunk (reference ``alac_utils.py:151``)."""
+    out.write(b"kuki" + b"\x00" * 7 + bytes([len(cookie) & 0xFF]))
+    out.write(cookie)
+
+
+def write_caff_pakt_chunk_header(out, header: CAFPacketTableHeader,
+                                 table_size: int) -> None:
+    """``pakt`` chunk header + table header; the caller fills the table
+    entries afterwards (reference ``alac_utils.py:218``)."""
+    total_chunk = table_size + MIN_CAFF_PACKET_TABLE_HEADER_SIZE
+    out.write(b"pakt" + b"\x00\x00\x00\x00" + struct.pack(">I", total_chunk))
+    out.write(header.pack())
+
+
+def write_caff_data_chunk(out) -> None:
+    """Open-ended ``data`` chunk marker (reference ``alac_utils.py:230``)."""
+    out.write(b"data" + b"\x00" * 11 + b"\x01")
+
+
+def find_caff_packet_table_start(caf_bytes: bytes) -> int:
+    """Offset of the first packet-table entry inside a CAF blob
+    (reference ``alac_utils.py:275-303``): scan chunks for ``pakt`` and skip
+    its 24-byte table header."""
+    pos = 8  # past the caff file header
+    n = len(caf_bytes)
+    while pos + 12 <= n:
+        tag = caf_bytes[pos : pos + 4]
+        (size,) = struct.unpack_from(">q", caf_bytes, pos + 4)
+        if tag == b"pakt":
+            return pos + 12 + MIN_CAFF_PACKET_TABLE_HEADER_SIZE
+        pos += 12 + max(size, 0)
+    raise ValueError("no 'pakt' chunk found in CAF data")
 
 
 def rearrange_bytes(
@@ -76,36 +166,21 @@ def rearrange_bytes(
     """Wrap a firmware ALAC stream into a CAF container; returns the bytes."""
     out = _io.BytesIO()
 
-    # 'caff' file header, version 1
-    out.write(b"caff\x00\x01\x00\x00")
-
-    # 'desc' chunk: 12-byte header (size in last byte) + 32-byte description
-    out.write(b"desc" + b"\x00" * 7 + bytes([32]))
-    # big-endian: f64 rate, u32 fmt, u32 flags, u32 bytes/packet,
-    # u32 frames/packet, u32 channels, u32 bits
-    out.write(struct.pack(
-        ">dIIIIII",
-        float(sample_rate), ALAC_FORMAT_APPLE_LOSSLESS, 1, 0,
-        ALAC_DEFAULT_FRAMES_PER_PACKET, int(channels), 0,
+    write_caff_fcaff_chunk(out)
+    write_caff_desc_chunk(out, AudioFormatDescription(
+        sample_rate=float(sample_rate), channels_per_frame=int(channels),
     ))
+    write_caff_kuki_chunk(out, FIRMWARE_MAGIC_COOKIE)
 
-    # 'kuki' chunk with the fixed firmware cookie
-    cookie = FIRMWARE_MAGIC_COOKIE
-    out.write(b"kuki" + b"\x00" * 7 + bytes([len(cookie) & 0xFF]))
-    out.write(cookie)
-
-    # 'pakt' chunk
-    n_packets, n_valid, remainder, table_size = _packet_table_geometry(
+    table_header, table_size = build_base_packet_table(
         pcm_buffer_bytes, bytes_per_frame=2 * channels
     )
-    total_chunk = table_size + MIN_CAFF_PACKET_TABLE_HEADER_SIZE
-    out.write(b"pakt" + b"\x00\x00\x00\x00" + struct.pack(">I", total_chunk))
-    out.write(struct.pack(">QQII", n_packets, n_valid, 0, remainder))
+    write_caff_pakt_chunk_header(out, table_header, table_size)
     packet_table_pos = out.tell()
     out.write(bytes(table_size))
 
     # 'data' chunk (open-ended size marker, as the firmware writer emits)
-    out.write(b"data" + b"\x00" * 11 + b"\x01")
+    write_caff_data_chunk(out)
     data_pos = out.tell()
 
     # copy BER-framed packets

@@ -65,6 +65,30 @@ def parse_mark_header(data: bytes) -> Dict[str, Any]:
     }
 
 
+class AudioBinary:
+    """Attribute-access view of a parsed MARK container (API parity with the
+    reference's kaitai-generated class, ``parse.py:AudioBinary``)."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != MARK_MAGIC:
+            raise MarkHeaderError(f"bad magic {data[:4]!r}")
+        (self.magic_bytes, self.timestamp, self.sample_rate,
+         self.num_channels, self.adc_bitdepth, self.endianness,
+         self.audio_file_version, self.latitude, self.longitude,
+         self.altitude, device, self.skipped_bytes) = struct.unpack_from(
+            _HEADER_FMT, data, 0)
+        self.device_id = device.decode("utf-8", errors="replace").rstrip("\x00")
+        self.audio = data[HEADER_SIZE:]
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "AudioBinary":
+        return cls(data)
+
+
+# name parity with the reference's header-dict entry point (``parse.py:57``)
+create_dict_by_kaitai = parse_mark_header
+
+
 def write_mark_audio_file(
     pcm: np.ndarray,
     *,

@@ -185,6 +185,23 @@ def rain_frame_decision(
     return is_rain, is_rain.astype(jnp.float32)
 
 
+def assign_td_soft_label(*, td_crest_factor, td_kurtosis, crest_thr: float,
+                         kurt_thr: float, min_positive_votes: int = 2
+                         ) -> Dict[str, jnp.ndarray]:
+    """TD soft label from impulse features: crest/kurtosis voting
+    (reference ``rain_frame_classifier.py:85-110``)."""
+    crest = jnp.asarray(td_crest_factor)
+    kurt = jnp.asarray(td_kurtosis)
+    votes = (crest >= float(crest_thr)).astype(jnp.int32) + (
+        kurt >= float(kurt_thr)
+    ).astype(jnp.int32)
+    return {
+        "td_vote_count": votes,
+        "td_soft_score": votes.astype(jnp.float32) / 2.0,
+        "td_soft_label": votes >= int(min_positive_votes),
+    }
+
+
 def detect_rain_over_time(
     cfg: NoiseConfig,
     P_det: jnp.ndarray,            # (F, T) detector input (normalized dB)
@@ -297,15 +314,15 @@ def detect_rain_over_time(
     # TD soft labels (optional)
     td_soft_enable = cfg.dflag("td_soft_enable", False)
     if td_soft_enable:
-        crest_thr = float(cfg.dget("td_soft_crest_factor_min", 4.0))
-        kurt_thr = float(cfg.dget("td_soft_kurtosis_min", 6.0))
-        min_votes = int(cfg.dget("td_soft_min_positive_votes", 2))
-        votes = (td_crest >= crest_thr).astype(jnp.int32) + (
-            td_kurt >= kurt_thr
-        ).astype(jnp.int32)
-        td_vote_count = votes
-        td_soft_score = votes.astype(jnp.float32) / 2.0
-        td_soft_label = votes >= min_votes
+        soft = assign_td_soft_label(
+            td_crest_factor=td_crest, td_kurtosis=td_kurt,
+            crest_thr=float(cfg.dget("td_soft_crest_factor_min", 4.0)),
+            kurt_thr=float(cfg.dget("td_soft_kurtosis_min", 6.0)),
+            min_positive_votes=int(cfg.dget("td_soft_min_positive_votes", 2)),
+        )
+        td_vote_count = soft["td_vote_count"]
+        td_soft_score = soft["td_soft_score"]
+        td_soft_label = soft["td_soft_label"]
     else:
         td_vote_count = jnp.zeros((T,), jnp.int32)
         td_soft_score = jnp.zeros((T,), jnp.float32)
@@ -573,3 +590,21 @@ def detect_rain_over_time(
 
     det_debug["peak_features_enable"] = peak_features_enable
     return frame_class, rain_conf, det_debug, feature_dump
+
+class RainFrameClassifierMixin:
+    """Compat surface of the reference mixin
+    (``rain_frame_classifier.py:114-148, 290``): host classes expose
+    ``self.cfg`` (a :class:`NoiseConfig`) and call
+    ``self._detect_rain_over_time(P, freqs, ...)``; the body delegates to the
+    traced :func:`detect_rain_over_time`."""
+
+    cfg: NoiseConfig
+
+    def _detect_rain_over_time(self, P, freqs=None,
+                               detector_frame_times=None, input_audio=None,
+                               raw_power=None, work_dtype=None):
+        del freqs, detector_frame_times, work_dtype  # derived from cfg
+        x = input_audio if input_audio is not None else jnp.zeros(
+            (int(self.cfg.dget("n_fft", 256)),), jnp.float32)
+        return detect_rain_over_time(self.cfg, jnp.asarray(P), jnp.asarray(x),
+                                     raw_power=raw_power)

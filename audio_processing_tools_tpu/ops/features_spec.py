@@ -27,6 +27,17 @@ from audio_processing_tools_tpu.ops.framing import frame_signal
 from audio_processing_tools_tpu.ops.windows import hann_window
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
 
+def resolve_np_dtype(process_dtype):
+    """Name/dtype -> NumPy scalar type (reference ``feature_extraction.py:55``)."""
+    import numpy as _np
+
+    if process_dtype in ("float32", _np.float32):
+        return _np.float32
+    if process_dtype in ("float64", _np.float64):
+        return _np.float64
+    return _np.dtype(process_dtype).type
+
+
 RAW_SPECTRAL_FEATURE_NAMES = (
     "raw_spectral_centroid_hz",
     "raw_spectral_bandwidth_hz",

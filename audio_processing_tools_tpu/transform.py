@@ -38,12 +38,37 @@ def _utcfromtimestamp(ts) -> "dt.datetime":
     )
 
 
+def butter_bandpass(lowcut, highcut, fs, order=5):
+    """Bandpass (b, a) design (``transform.py:22-26``)."""
+    import scipy.signal as spsig
+
+    return spsig.butter(order, [lowcut, highcut], fs=fs, btype="band")
+
+
 def butter_bandpass_filter(data, lowcut, highcut, fs, order=5):
     """lfilter-based bandpass (``transform.py:29-36``)."""
     import scipy.signal as spsig
 
-    b, a = spsig.butter(order, [lowcut, highcut], fs=fs, btype="band")
+    b, a = butter_bandpass(lowcut, highcut, fs, order=order)
     return spsig.lfilter(b, a, data)
+
+
+def get_package_version() -> str:
+    """Version stamp for ETL outputs (``transform.py:115-120``)."""
+    return _pkg_version
+
+
+def fetch_audio_data(key: str, boto_session=None):
+    """Single-key fetch with prod->test bucket fallback
+    (``transform.py:96-112``)."""
+    from audio_processing_tools_tpu.io.fetch import fetch_raw_audio_from_s3
+
+    try:
+        return fetch_raw_audio_from_s3(key, "arable-device-data", boto_session)
+    except Exception:
+        return fetch_raw_audio_from_s3(
+            key, "arable-device-data-test", boto_session
+        )
 
 
 def get_real_fft_df(sig, sample_rate) -> pd.DataFrame:

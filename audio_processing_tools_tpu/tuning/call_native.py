@@ -198,3 +198,31 @@ def get_version(lib: Optional[CDLL] = None) -> str:
     char_array = c_char * len(ver)
     lib.get_version_info(char_array.from_buffer(ver), len(ver))
     return ver.split(b"\x00", 1)[0].decode("utf-8")
+
+
+def twos_complement_hex(num: int, bits: int = 16) -> int:
+    """Two's-complement wrap (reference ``call_c_fun.py:91-93``)."""
+    return (num + (1 << bits)) % (1 << bits)
+
+
+def write_results(csv_file_name: str, csv_columns, data) -> None:
+    """Tuning-run CSV writer (reference ``call_c_fun.py:83-89``)."""
+    import csv
+
+    with open(csv_file_name, mode="w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=csv_columns)
+        writer.writeheader()
+        for row in data:
+            writer.writerow(row)
+
+
+def conditional_print(message, condition: bool) -> None:
+    """Gated print (reference ``call_c_fun.py`` logging helper)."""
+    if condition:
+        print(message)
+
+
+def print_log(message, *, verbose: bool = True) -> None:
+    """Verbose-gated log line (reference ``call_c_fun.py`` logging helper)."""
+    if verbose:
+        print(message)

@@ -80,6 +80,10 @@ def _run_and_save(params_key, audio_df, params, identifier, results_dir,
     )
 
 
+# name parity with the reference's per-combo runner (``grid_search.py:120``)
+execute_algorithm = _run_and_save
+
+
 def grid_search(audio_df, custom_alg: Callable, param_grid: Dict[str, list],
                 test_name: str, results_dir: str) -> None:
     """Serial cartesian sweep with JSON resume (``grid_search.py:51-117``)."""

@@ -14,6 +14,19 @@ import numpy as np
 import pandas as pd
 
 
+def find_single_matching_file(directory: str, pattern: str) -> str:
+    """Exactly-one glob match (reference ``visualization_utils.py:218-225``)."""
+    import glob
+    import os
+
+    matching = glob.glob(os.path.join(directory, pattern))
+    if not matching:
+        raise FileNotFoundError("Could not find results matching the pattern")
+    if len(matching) > 1:
+        raise FileExistsError("Found more than one file matching the pattern")
+    return matching[0]
+
+
 def load_results(pattern: str) -> pd.DataFrame:
     """JSON sweep results -> DataFrame (``visualization_utils.py:14-40``)."""
     all_results: List[Dict[str, Any]] = []
@@ -129,3 +142,7 @@ def run_dsd_emulator_for_keys(keys: List[str],
         df["key"] = key
         frames.append(df)
     return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+# name parity with the reference (``visualization_utils.py:228``)
+process_audio_data_through_dsd_emulator = run_dsd_emulator_for_keys

@@ -65,3 +65,7 @@ def plot_audio_spectrogram(sig, sample_rate: int, n_fft: int = 256,
     ax.set_title(title)
     ax.figure.colorbar(pcm, ax=ax, label="dB")
     return ax.figure
+
+
+# name parity with the reference (``visualize_audio.py:55``)
+plot_fft = plot_audio_fft

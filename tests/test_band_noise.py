@@ -362,3 +362,129 @@ def test_chunked_streaming_matches_full(rng):
     )
     assert int(np.asarray(out2["noise_buffer_valid_count"])[0]) <= cfg.W
     assert float(np.asarray(out2["N_E"])[0]) == 0.0  # warmup restarted
+
+
+# ---------------------------------------------------------------------------
+# per-frame streaming class surface (reference band_noise_estimator.py classes)
+
+
+def test_streaming_class_matches_whole_clip(rng):
+    from audio_processing_tools_tpu.models.band_noise_streaming import (
+        BandNoiseEstimator,
+        BandNoiseFrameOut,
+    )
+
+    cfg = BandNoiseEstimatorConfig()
+    x = _signal(rng, seconds=3)
+    ref = band_noise_process(jnp.asarray(x), cfg)
+
+    est = BandNoiseEstimator(cfg)
+    outs = list(est.process_stream(x))
+    T = x.size // cfg.frame_len
+    assert len(outs) == T
+    assert all(isinstance(o, BandNoiseFrameOut) for o in outs)
+    # per-frame streaming == one whole-clip scan, bit for bit
+    np.testing.assert_array_equal(
+        np.asarray([o.N_E for o in outs], np.float32), np.asarray(ref["N_E"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray([o.G_mag for o in outs], np.float32), np.asarray(ref["G_mag"])
+    )
+    np.testing.assert_array_equal(
+        np.stack([o.rain_submask for o in outs]), np.asarray(ref["rain_submask"])
+    )
+    assert [o.fft_rain_frame for o in outs] == list(
+        np.asarray(ref["fft_rain_frame"]).astype(bool)
+    )
+
+    with pytest.raises(ValueError, match="frame_len"):
+        est.process_frame(x[:10])
+
+
+def test_streaming_energy_stats_read_and_reset(rng):
+    from audio_processing_tools_tpu.models.band_noise_streaming import (
+        BandNoiseEstimator,
+    )
+
+    cfg = BandNoiseEstimatorConfig()
+    x = _signal(rng, seconds=4)
+    N = cfg.frame_len
+    T = x.size // N
+
+    est = BandNoiseEstimator(cfg)
+    # empty read before any frame
+    assert est.read_and_reset_energy_stats().total_frame_count == 0
+
+    half = T // 2
+    for t in range(half):
+        est.process_frame(x[t * N : (t + 1) * N])
+    s1 = est.read_and_reset_energy_stats()
+    assert s1.total_frame_count == half
+    for t in range(half, T):
+        est.process_frame(x[t * N : (t + 1) * N])
+    s2 = est.read_and_reset_energy_stats()
+    assert s2.total_frame_count == T - half
+    # windows partition the whole-clip totals
+    ref = band_noise_process(jnp.asarray(x[: T * N]), cfg)
+    total = float(np.asarray(ref["total_energy_sum"])[-1])
+    assert abs((s1.total_energy_sum + s2.total_energy_sum) - total) <= (
+        1e-6 * max(total, 1.0)
+    )
+    assert s1.rain_frame_count + s2.rain_frame_count == int(
+        np.asarray(ref["rain_frame_count"])[-1]
+    )
+    # means derive from the window
+    assert s2.total_energy_mean == pytest.approx(
+        s2.total_energy_sum / max(1, s2.total_frame_count)
+    )
+    assert "noise_energy_mean" in s2.as_dict()
+
+
+def test_noise_frame_detector_twin_matches_scan(rng):
+    """Standalone NumPy NoiseFrameDetector == the in-scan detector."""
+    import jax.numpy as jnp
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        _design_filters,
+        _per_frame_inputs,
+    )
+    from audio_processing_tools_tpu.models.band_noise_streaming import (
+        NoiseFrameDetector,
+    )
+    from audio_processing_tools_tpu.ops.filters import sosfilt, sosfilt_zi
+
+    cfg = BandNoiseEstimatorConfig()
+    x = _signal(rng, seconds=3)
+    ref = band_noise_process(jnp.asarray(x), cfg)
+
+    # rebuild the scan's per-frame inputs
+    N = cfg.frame_len
+    T = x.size // N
+    xs = jnp.asarray(x[: T * N], jnp.float32)
+    hpf, bpf = _design_filters(cfg)
+    x0 = xs[0]
+    if hpf is not None:
+        x_h, _ = sosfilt(hpf, xs, zi=jnp.asarray(sosfilt_zi(hpf), jnp.float32) * x0)
+    else:
+        x_h = xs
+    x_bp, _ = sosfilt(bpf, x_h, zi=jnp.asarray(sosfilt_zi(bpf), jnp.float32) * x0)
+    subE, subEhpf, *_ = _per_frame_inputs(x_h, x_bp, cfg, T)
+    frames_h = np.asarray(x_h).reshape(T, N)
+    P_fft = np.abs(np.fft.rfft(frames_h, n=cfg.det.n_fft, axis=-1)) ** 2
+
+    S = subE.shape[-1]
+    det = NoiseFrameDetector(cfg.det, subframes_per_frame=S)
+    got_fft, got_mask = [], []
+    for t in range(T):
+        fr, mask = det.process_frame(
+            frames_h[t], np.asarray(subE[t]),
+            subEhpf=np.asarray(subEhpf[t]), fft_power=P_fft[t],
+        )
+        got_fft.append(fr)
+        got_mask.append(mask)
+    np.testing.assert_array_equal(
+        np.asarray(got_fft), np.asarray(ref["fft_rain_frame"]).astype(bool)
+    )
+    np.testing.assert_array_equal(
+        np.stack(got_mask), np.asarray(ref["rain_submask"]).astype(bool)
+    )
