@@ -82,6 +82,58 @@ def sequence_sharded_stft_power(
     return jnp.swapaxes(Pw, 0, 1)[:, :T]
 
 
+def batch_sequence_sharded_stft_power(
+    xb: jnp.ndarray, mesh: Mesh, *, n_fft: int = 256, hop: int = 128,
+    files_axis: str = "files", seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Composite 2-D sharding: clips over ``files`` (DP) x time over ``seq``
+    (the CP analogue), in one ``shard_map``.
+
+    ``xb`` is (B, n); B must divide the mesh's ``files`` extent and n must be
+    a multiple of ``seq_extent * hop``. Each device holds a
+    (B/files, n/seq) tile, exchanges the ``n_fft - hop`` right halo with its
+    ``seq`` neighbor via ring ``ppermute`` (the ``files`` axis needs no
+    communication), and frames/windows/FFTs its local span. Output
+    (B, F, T) is sharded (files, -, seq) and equals the unsharded causal
+    computation.
+    """
+    files_n = mesh.shape[files_axis]
+    seq_n = mesh.shape[seq_axis]
+    B, n = xb.shape
+    if B % files_n != 0:
+        raise ValueError(f"batch {B} must divide the '{files_axis}' extent {files_n}")
+    if n % (seq_n * hop) != 0:
+        raise ValueError(
+            f"signal length {n} must be a multiple of seq_extent*hop "
+            f"({seq_n}*{hop})"
+        )
+    overlap = n_fft - hop
+    w = jnp.asarray(hann_window(n_fft))
+
+    def local(x_loc):                       # (B_loc, n_loc)
+        idx = jax.lax.axis_index(seq_axis)
+        head = x_loc[:, :overlap]
+        perm = [(i, (i - 1) % seq_n) for i in range(seq_n)]
+        halo = jax.lax.ppermute(head, seq_axis, perm)
+        halo = jnp.where(idx == seq_n - 1, jnp.zeros_like(halo), halo)
+        xa = jnp.concatenate([x_loc, halo], axis=-1)
+        T_loc = x_loc.shape[-1] // hop
+        fidx = np.arange(T_loc)[:, None] * hop + np.arange(n_fft)[None, :]
+        frames = xa[:, fidx] * w            # (B_loc, T_loc, n_fft)
+        spec = jnp.fft.rfft(frames, axis=-1)
+        Pw = (spec.real**2 + spec.imag**2).astype(jnp.float32)
+        return jnp.swapaxes(Pw, -1, -2)     # (B_loc, F, T_loc)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(files_axis, seq_axis),
+        out_specs=P(files_axis, None, seq_axis),
+    )
+    Pw = fn(xb.astype(jnp.float32))
+    T = n // hop - (n_fft // hop - 1)
+    return Pw[..., :T]
+
+
 def sequence_sharded_band_flux(
     x: jnp.ndarray, mesh: Mesh, *, fs: int = 11162, n_fft: int = 256,
     hop: int = 128, mode_bands: Tuple[Tuple[float, float], ...] = (

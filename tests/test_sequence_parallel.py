@@ -1,6 +1,7 @@
 """Time-axis sharding (sequence parallelism) equals the unsharded causal path."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.parallel import make_mesh
@@ -62,3 +63,36 @@ def test_sequence_sharded_length_validation(rng):
 
     with pytest.raises(ValueError):
         sequence_sharded_stft_power(jnp.zeros(1000, jnp.float32), mesh)
+
+
+def test_batch_sequence_2d_mesh_matches_unsharded(rng):
+    """Composite DP x SP: (files=2, seq=4) mesh equals per-clip unsharded."""
+    import jax
+    from jax.sharding import Mesh
+    from audio_processing_tools_tpu.parallel.sequence import (
+        batch_sequence_sharded_stft_power,
+    )
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("files", "seq"))
+    n = 4 * HOP * 32
+    xb = np.stack([_signal(rng, n), _signal(rng, n)])
+    P2d = np.asarray(batch_sequence_sharded_stft_power(jnp.asarray(xb), mesh))
+    for i in range(2):
+        P_ref = np.asarray(stft_power(jnp.asarray(xb[i]), center=False))
+        assert P2d[i].shape == P_ref.shape
+        np.testing.assert_allclose(P2d[i], P_ref, atol=1e-5 * P_ref.max())
+
+
+def test_batch_sequence_2d_mesh_validation(rng):
+    import jax
+    from jax.sharding import Mesh
+    from audio_processing_tools_tpu.parallel.sequence import (
+        batch_sequence_sharded_stft_power,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("files", "seq"))
+    with pytest.raises(ValueError, match="batch"):
+        batch_sequence_sharded_stft_power(jnp.zeros((3, 4 * HOP * 8)), mesh)
+    with pytest.raises(ValueError, match="multiple"):
+        batch_sequence_sharded_stft_power(jnp.zeros((2, 4 * HOP * 8 + 1)), mesh)
