@@ -134,14 +134,16 @@ def main(argv=None) -> None:
         agg_totals["total_clips"] += len(gkeys)
 
         if args.dsd:
-            from audio_processing_tools_tpu.host_analysis.dsd_emulator import (
-                dsd_minutes_vectorized,
+            from audio_processing_tools_tpu.host_analysis.dsd_device import (
+                dsd_minutes_device,
             )
 
+            # device-resident DSD: all local clips' minute vectors in one
+            # batched program (host emulator parity-tested)
+            vecs_b = dsd_minutes_device(mat, FS)
             for i, fk in enumerate(file_keys):
-                vecs = dsd_minutes_vectorized(mat[i].astype(np.float64), FS)
                 rows[-len(file_keys) + i]["dsd_minutes"] = (
-                    vecs.tolist() if len(vecs) else []
+                    vecs_b[i].tolist() if vecs_b.shape[1] else []
                 )
 
     wall = time.time() - t0

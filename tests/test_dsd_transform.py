@@ -209,3 +209,52 @@ def test_classification_worker_rejects_short_audio(rng, monkeypatch, tmp_path):
     with pytest.raises(ValueError, match="less than 1 minute"):
         tr.process_audio_file_classification(
             "audio/SHORT/field/1700000000", str(tmp_path), False, False)
+
+
+def test_dsd_device_matches_scalar_emulator(rng):
+    """Device (JAX) DSD minutes == the scalar firmware emulator, bin for bin,
+    on a 2-minute raining recording."""
+    from audio_processing_tools_tpu.host_analysis.dsd_device import (
+        dsd_minutes_device,
+    )
+
+    x = _rain_audio(rng, seconds=130)
+    emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+    ref = np.asarray(emu.process_audio_data(x, ts=0))
+    got = dsd_minutes_device(x.astype(np.float32), FS)
+    assert got.shape == ref.shape == (3, 100)  # 2 full + 1 partial minute
+    # integer count/index bins must agree exactly
+    np.testing.assert_array_equal(got[:, :62], ref[:, :62])
+    # fft log bins: f32 vs f64 FFT can flip a log boundary by at most 1
+    assert np.max(np.abs(got[:, 62:] - ref[:, 62:])) <= 1
+    assert (got[:, 62:] == ref[:, 62:]).mean() > 0.95
+
+
+def test_dsd_device_batched(rng):
+    from audio_processing_tools_tpu.host_analysis.dsd_device import (
+        dsd_minutes_device,
+    )
+
+    xb = np.stack([_rain_audio(rng, seconds=65) for _ in range(3)])
+    got = dsd_minutes_device(xb.astype(np.float32), FS)
+    assert got.shape == (3, 2, 100)  # full minute + 5 s partial
+    for i in range(3):
+        emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+        ref = np.asarray(emu.process_audio_data(xb[i], ts=0))
+        np.testing.assert_array_equal(got[i, :, :62], ref[:, :62])
+
+
+def test_dsd_device_short_audio(rng):
+    from audio_processing_tools_tpu.host_analysis.dsd_device import (
+        dsd_minutes_device,
+    )
+
+    # 10 s -> one partial-minute vector, same as the scalar emulator
+    x = np.zeros(FS * 10, np.float32)
+    emu = DsdProcessingEmulator(FS, 512, 512, False, 0)
+    ref = np.asarray(emu.process_audio_data(x.astype(np.float64), ts=0))
+    out = dsd_minutes_device(x, FS)
+    assert out.shape == ref.shape == (1, 100)
+    np.testing.assert_array_equal(out[:, :62], ref[:, :62])
+    # too short for a single frame -> nothing
+    assert dsd_minutes_device(np.zeros(100, np.float32), FS).shape == (0, 100)
