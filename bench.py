@@ -95,6 +95,8 @@ def main() -> None:
     DEPTH = 2
 
     def run_once(B, iters):
+        from concurrent.futures import ThreadPoolExecutor
+
         mark_batches = [make_mark_batch(B) for _ in range(2)]
         # preallocated decode buffers (first-touch page faults on this host
         # cost seconds per 28 MB; reuse keeps decode at ~35 ms)
@@ -105,16 +107,26 @@ def main() -> None:
             r = step(jax.device_put(decode_batch(mark_batches[j % 2], mats[j])))
         np.asarray(r["rain_frame_count"])
 
+        # decode worker: overlap container parsing with the (host-blocking)
+        # device_put of the previous batch
+        pool = ThreadPoolExecutor(1)
         t0 = time.perf_counter()
+        fut = pool.submit(decode_batch, mark_batches[0], mats[0])
         inflight = []
         for i in range(iters):
-            m = decode_batch(mark_batches[i % 2], mats[i % len(mats)])
+            m = fut.result()
+            if i + 1 < iters:
+                fut = pool.submit(
+                    decode_batch, mark_batches[(i + 1) % 2],
+                    mats[(i + 1) % len(mats)],
+                )
             inflight.append(step(jax.device_put(m)))
             while len(inflight) > DEPTH:
                 np.asarray(inflight.pop(0)["rain_frame_count"])
         for out in inflight:
             np.asarray(out["rain_frame_count"])
         dt = (time.perf_counter() - t0) / iters
+        pool.shutdown()
         return B * args.clip_sec / dt
 
     if args.quick:
