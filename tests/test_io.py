@@ -190,3 +190,78 @@ def test_caf_container_structure():
     caf2 = rearrange_bytes(b"\xAD\xFB\xCA\xDE" + b"\x00" * 36 + payload)
     didx2 = caf2.index(b"data")
     assert caf2[didx2 + 16 : didx2 + 16 + 5] == b"abcde"
+
+
+# ---------------------------------------------------------------------------
+# remote input types on fakes (RemotePath / CsvInput / KeyList, remote loader)
+
+
+def test_get_keys_remote_types(tmp_path, monkeypatch, rng):
+    import pandas as pd
+
+    import audio_processing_tools_tpu.io.db as db
+
+    labels = pd.DataFrame({
+        "source_file": ["audio/D1/f/100", "audio/D2/f/200"],
+        "raining": [True, False],
+    })
+    queries = []
+
+    def fake_get_db_data(q, engine, **kw):
+        queries.append(q)
+        return labels
+
+    monkeypatch.setattr(db, "get_db_data", fake_get_db_data)
+    monkeypatch.chdir(tmp_path)  # avoid the db_keys.csv cwd cache
+
+    # RemotePath
+    keys = get_keys("RemotePath", query="SELECT 1", adse_engine=object())
+    assert keys == labels.to_dict(orient="records")
+
+    # KeyList: hydrates labels from the classification table
+    keys = get_keys("KeyList", key_list=["audio/D1/f/100", "audio/D2/f/200"],
+                    adse_engine=object())
+    assert {k["source_file"] for k in keys} == set(labels["source_file"])
+    assert "device_audio_rain_classification" in queries[-1]
+
+    # CsvInput
+    csv = tmp_path / "keys.csv"
+    pd.DataFrame({"source_file": labels["source_file"]}).to_csv(csv, index=False)
+    keys = get_keys("CsvInput", csv_inp_file=str(csv), adse_engine=object())
+    assert len(keys) == 2
+
+    # validation errors
+    with pytest.raises(ValueError, match="query"):
+        get_keys("RemotePath", adse_engine=object())
+    with pytest.raises(ValueError, match="key_list"):
+        get_keys("KeyList", adse_engine=object())
+    with pytest.raises(ValueError, match="csv_inp_file"):
+        get_keys("CsvInput", adse_engine=object())
+
+
+def test_get_input_data_remote(monkeypatch, rng):
+    import audio_processing_tools_tpu.io.fetch as fetch
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+
+    pcm = (rng.standard_normal(FS * 2) * 3000).astype(np.int16)
+    blob = write_mark_audio_file(pcm, sample_rate=FS, device_id="R1")
+    short = write_mark_audio_file(pcm[: FS // 2], sample_rate=FS)
+
+    def fake_fetch(keys=(), **kw):
+        m = {"audio/D1/f/100": blob, "audio/D1/f/200": short}
+        return {k: m[k] for k in keys if k in m}
+
+    monkeypatch.setattr(fetch, "get_device_raw_audio_data", fake_fetch)
+
+    batch = [
+        {"source_file": "audio/D1/f/100", "raining": True},
+        {"source_file": "audio/D1/f/200", "raining": False},  # too short
+        {"source_file": "audio/D1/f/300", "raining": False},  # missing
+    ]
+    data = get_input_data(batch, "RemotePath", FS, 1.0, False, None, None, 2)
+    assert set(data) == {"audio/D1/f/100"}
+    entry = data["audio/D1/f/100"]
+    assert entry["raining"] is True
+    y = entry["file_contents"]
+    assert y.dtype == np.float32 and y.shape == (FS,)
+    assert np.abs(y).max() <= 1.0
