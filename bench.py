@@ -29,6 +29,9 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU smoke run")
+    ap.add_argument("--alac", action="store_true",
+                    help="BASELINE config #2: containers carry real ALAC "
+                         "payloads; host decode becomes libavcodec ALAC")
     ap.add_argument("--batch", type=int, default=0, help="fixed batch size (0 = sweep)")
     ap.add_argument("--clip-sec", type=float, default=10.0)
     ap.add_argument("--iters", type=int, default=8)
@@ -72,12 +75,23 @@ def main() -> None:
 
     step = jax.jit(step_fn)
 
+    file_version = 0
+    if args.alac:
+        from audio_processing_tools_tpu.io.alac_native import have_alac_shim
+
+        if not have_alac_shim():
+            print("# --alac requested but libalac_shim.so unavailable",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        file_version = 1
+
     def make_mark_batch(B):
         """B synthetic MARK container files (the real on-disk format)."""
         return [
             write_mark_audio_file(
                 (rng.standard_normal(clip_len) * 2000).astype(np.int16),
                 sample_rate=FS, timestamp=1700000000 + i, device_id=f"DEV{i:05d}",
+                file_version=file_version,
             )
             for i in range(B)
         ]
@@ -179,7 +193,9 @@ def main() -> None:
         )
 
     print(json.dumps({
-        "metric": "audio-hours/hour/chip (decode->STFT->rain features)",
+        "metric": ("audio-hours/hour/chip (ALAC decode->STFT->rain features)"
+                   if args.alac else
+                   "audio-hours/hour/chip (decode->STFT->rain features)"),
         "value": round(best_rate, 1),
         "unit": "audio-hours/hour",
         "vs_baseline": round(best_rate / 500.0, 3),
@@ -187,6 +203,7 @@ def main() -> None:
         "clip_sec": args.clip_sec,
         "p50_file_latency_ms": round(p50_ms, 1),
         "pallas_max_rel_dev": pallas_dev,
+        "codec": "alac" if args.alac else "pcm",
         "backend": jax.default_backend(),
     }))
 
