@@ -265,3 +265,38 @@ def test_get_input_data_remote(monkeypatch, rng):
     y = entry["file_contents"]
     assert y.dtype == np.float32 and y.shape == (FS,)
     assert np.abs(y).max() <= 1.0
+
+
+def test_audio_metadata_handler_fake_backend(monkeypatch, rng):
+    """AudioMetadataHandler (reference parse.py:674-757): fetch headers,
+    batch rows, upsert to audio_metadata."""
+    import audio_processing_tools_tpu.io.fetch as fetch
+    import audio_processing_tools_tpu.io.db as db
+    from audio_processing_tools_tpu.io.tabular import AudioMetadataHandler
+    from audio_processing_tools_tpu.io.mark import write_mark_audio_file
+
+    keys = [f"audio/D{i}/f/{1700000000 + i}" for i in range(5)]
+    blobs = {
+        k: write_mark_audio_file(
+            (rng.standard_normal(FS) * 500).astype(np.int16),
+            sample_rate=FS, timestamp=1700000000 + i, device_id=f"D{i}",
+        )
+        for i, k in enumerate(keys)
+    }
+    monkeypatch.setattr(fetch, "get_device_raw_audio_data",
+                        lambda keys=(), **kw: {k: blobs[k] for k in keys
+                                               if k in blobs})
+    upserts = []
+    monkeypatch.setattr(db, "upsert_df",
+                        lambda df, table, eng, **kw: upserts.append((table, df)))
+
+    h = AudioMetadataHandler(keys + ["audio/MISSING/f/0"], object(),
+                             batch_size=2)
+    h.fetch_and_store_metadata()
+    assert sum(len(df) for _, df in upserts) == 5  # missing key skipped
+    assert all(t == "audio_metadata" for t, _ in upserts)
+    first = upserts[0][1]
+    assert first.index.name == "source_key"
+    for col in ("device_id", "time", "sample_rate", "lat", "long", "duration"):
+        assert col in first.columns, col
+    assert list(first["device_id"]) == ["D0", "D1"]  # batch_size=2 flushes
