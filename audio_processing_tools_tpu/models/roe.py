@@ -304,9 +304,15 @@ def _amplitude_to_db_refmax(mag: jnp.ndarray, amin: float = 1e-5,
 # ---------------------------------------------------------------------------
 
 
-def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
+def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig,
+                   collect_raw: bool = False) -> Dict[str, Any]:
     """(``analyse_raw_audio``, ``dsp_rain_detection.py:2230-2562``) for one
-    firmware chunk; returns per-chunk arrays + counts."""
+    firmware chunk; returns per-chunk arrays + counts.
+
+    ``collect_raw`` additionally returns the threshold-INDEPENDENT pieces of
+    the decision chain (pre-threshold SNR novelties, peak gates, harmonic
+    active flags) so threshold sweeps can re-evaluate decisions as pure
+    elementwise math (see :func:`roe_sweep_features`)."""
     if cfg.nf != 0:
         raise NotImplementedError(
             "nf != 0 requires estimate_noise_lpf, which is undefined in the "
@@ -344,6 +350,8 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
     )
     # novelty arrays are length T+1 (trailing zero); the reference gates
     # only the first T entries (loop over len(fpeak_array) == T)
+    raw_nov1 = [novt]                       # pre-threshold, pre-gate SNR nov
+    raw_nopeak = [jnp.pad(peaks0 == 0, (0, 1))]
     gate0 = (novk[:T] != 0) & (peaks0 == 0)
     novk = novk.at[:T].set(jnp.where(gate0, 0.0, novk[:T]))
     novt = novt.at[:T].set(jnp.where(gate0, 0.0, novt[:T]))
@@ -365,7 +373,7 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
         maskh = _band_mask_bins(b_lo, b_hi, Fs, N, F)
         Yh = jnp.where(maskh[:, None], Y, 0.0)
         thr_h = thrs[hn] if hn < len(thrs) else thrs[-1]
-        novx, _ = _novelty_spectrum(Yh, M, thr_h)
+        novx, nov1_h = _novelty_spectrum(Yh, M, thr_h)
 
         # search range re-centered by ``update_search_freq_range`` (:1393-1405)
         s_lo = jnp.maximum(frain_mean * (hn + 1) - 200.0, op_lo)
@@ -379,6 +387,8 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
         active = in_natural
         if hn == n_harm:
             active = active & (~overflow_last)
+        raw_nov1.append(jnp.where(active, nov1_h, 0.0))
+        raw_nopeak.append(jnp.pad(fpeak_h == 0, (0, 1)))
         nov_list.append(jnp.where(active, novx, 0.0))
 
     nov = jnp.stack(nov_list)  # (n_harmonics, T+1)
@@ -419,6 +429,11 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig) -> Dict[str, Any]:
         out["spectrum_db0"] = _amplitude_to_db_refmax(Y)
         Yp = mag if cfg.log_factor == 0 else jnp.log(1 + cfg.log_factor * mag)
         out["spectrum_db"] = _amplitude_to_db_refmax(Yp)
+    if collect_raw:
+        # threshold-independent decision-chain features: pre-threshold SNR
+        # novelties (active-gated for harmonics) and no-peak gate masks
+        out["raw_nov1"] = jnp.stack(raw_nov1)        # (n_harm, T+1)
+        out["raw_nopeak"] = jnp.stack(raw_nopeak)    # (n_harm, T+1) bool
     return out
 
 
@@ -541,6 +556,114 @@ def python_classifier_boolean_wrapper(audio_signal, **kwargs):
     if drops == 0:
         return False
     return np.nan
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _roe_features_traced(audio: jnp.ndarray, cfg: RoeConfig, n_samples: int
+                         ) -> Dict[str, jnp.ndarray]:
+    """Threshold-INDEPENDENT features of the whole-clip decision chain.
+
+    Runs the expensive front-end (filter, STFT, SNR novelties, peak search,
+    TD pulse features) once; thresholds can then be swept as elementwise
+    math via :func:`roe_apply_thresholds`."""
+    Fs = cfg.sample_rate
+    chunk_plan = []
+    remaining, offset = cfg.check_duration, 0.0
+    while remaining > 0:
+        part = min(remaining, MAX_DURATION_FW)
+        read_size = int(cfg.frame_length * (part * Fs / cfg.frame_length))
+        chunk_plan.append((int(Fs * offset), read_size))
+        remaining -= part
+        offset += part
+
+    parts = []
+    for read_off, read_size in chunk_plan:
+        if read_off >= n_samples or n_samples - read_off < Fs:
+            continue
+        take = min(read_size, n_samples - read_off)
+        chunk = jax.lax.dynamic_slice(audio, (read_off,), (take,))
+        parts.append(_analyse_chunk(chunk, cfg, collect_raw=True))
+    if not parts:
+        raise ValueError("audio too short for a single RoE chunk")
+    return {
+        "nov1": jnp.concatenate([p["raw_nov1"] for p in parts], axis=-1),
+        "nopeak": jnp.concatenate([p["raw_nopeak"] for p in parts], axis=-1),
+        "kurtosis": jnp.concatenate([p["kurtosis"] for p in parts], axis=-1),
+        "crest_factor": jnp.concatenate(
+            [p["crest_factor"] for p in parts], axis=-1),
+        "diff_energy": jnp.concatenate(
+            [p["diff_energy"] for p in parts], axis=-1),
+    }
+
+
+def roe_sweep_features(audio_matrix: np.ndarray, **kwargs) -> Dict[str, Any]:
+    """Batched threshold-independent RoE features for (B, N) clips."""
+    kwargs.setdefault("return_spectra", False)
+    cfg = build_roe_config(**kwargs)
+    xb = jnp.asarray(np.asarray(audio_matrix, np.float32))
+    n = int(xb.shape[-1])
+    feats = jax.vmap(lambda x: _roe_features_traced(x, cfg, n))(xb)
+    feats["cfg"] = cfg
+    return feats
+
+
+def roe_apply_thresholds(
+    feats: Dict[str, Any], *, harmonic_threshold, kurtosis_thr, crest_thr,
+    diff_energy_thr, min_drop_count, rain_drop_min_thr, rain_drop_max_thr,
+    rain_peaks_min_thr, rain_peaks_max_thr,
+):
+    """Elementwise re-evaluation of the RoE decision for one threshold set.
+
+    All arguments may be traced scalars (``harmonic_threshold`` a length-6
+    vector), so sweeps vmap over combos. Mirrors ``_analyse_chunk``'s
+    threshold tail + ``_roe_traced``'s TD gate and FP/FN combiner exactly.
+    Returns per-clip ``rain_drop_count_mod``.
+    """
+    cfg: RoeConfig = feats["cfg"]
+    nov1 = feats["nov1"]          # (B, n_harm, T)
+    nopeak = feats["nopeak"]
+    thr6 = jnp.asarray(harmonic_threshold, jnp.float32)
+
+    thr_b = thr6[None, :, None]
+    nov_t = jnp.where(nov1 > thr_b, jnp.minimum(nov1, 1.5 * thr_b), 0.0)
+    gated = jnp.where(nopeak, 0.0, nov_t)
+    base = gated[:, :1, :]
+    nov = jnp.concatenate(
+        [base, jnp.where(base == 0.0, 0.0, gated[:, 1:, :])], axis=1
+    )
+    nov_hn = jnp.sum(nov, axis=1)                       # (B, T)
+    thr_hn = thr6[0] + thr6[1] + thr6[2]
+    raining = jnp.where(nov_hn >= thr_hn, thr_hn, 0.0)
+    rdc = jnp.sum(raining >= 1.0, axis=-1).astype(jnp.int32)   # (B,)
+
+    peaks = (
+        (feats["kurtosis"] > kurtosis_thr)
+        & (feats["crest_factor"] > crest_thr)
+        & (feats["diff_energy"] > diff_energy_thr)
+    )
+    rain_peaks_count = jnp.sum(peaks, axis=-1).astype(jnp.int32)
+
+    rain_drop_threshold = jnp.ceil(
+        min_drop_count * cfg.check_duration
+    ).astype(jnp.int32)
+    raining2 = rdc > rain_drop_threshold
+    mod = rdc
+    if cfg.handle_fn:
+        promote = (~raining2) & (
+            (rdc > rain_drop_max_thr) | (rain_peaks_count > rain_peaks_max_thr)
+        )
+        raining2 = raining2 | promote
+        mod = jnp.where(promote, jnp.maximum(rdc, rain_peaks_count), mod)
+    if cfg.handle_fp:
+        demote = raining2 & (
+            (rain_peaks_count < rain_peaks_min_thr)
+            | (rdc < rain_drop_threshold)
+        )
+        raining2 = jnp.where(demote, False, raining2)
+        mod = jnp.where(demote, 0, mod)
+    if cfg.handle_fp or cfg.handle_fn:
+        return jnp.where(raining2, mod, 0)
+    return jnp.where(rdc > rain_drop_threshold, rdc, 0)
 
 
 def roe_detect_batch(audio_matrix: np.ndarray, **kwargs) -> Dict[str, np.ndarray]:

@@ -227,3 +227,84 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
             "fp_classifications": fp, "fn_classifications": fn,
         })
     return results
+
+
+def roe_grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
+                            threshold_grid: Dict[str, list],
+                            base_params: Dict[str, Any] | None = None
+                            ) -> List[Dict[str, Any]]:
+    """Device-vectorized threshold sweep for the legacy RoE classifier.
+
+    The expensive front-end (bandpass, STFT, SNR novelties, peak search, TD
+    pulse features) runs once per clip (``roe_sweep_features``); every
+    threshold combo is then re-evaluated as elementwise math
+    (``roe_apply_thresholds``) vmapped over the grid.
+
+    Sweepable knobs: ``harmonic_threshold`` (length-6 lists),
+    ``kurtosis_thr``, ``crest_thr``, ``diff_energy_thr``, ``min_drop_count``,
+    ``rain_drop_min_thr``, ``rain_drop_max_thr``, ``rain_peaks_min_thr``,
+    ``rain_peaks_max_thr``. Structural parameters (bands, sample rate,
+    handle_fp/fn) belong in ``base_params``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_processing_tools_tpu.models.roe import (
+        build_roe_config,
+        roe_apply_thresholds,
+        roe_sweep_features,
+    )
+
+    base = dict(base_params or {})
+    cfg = build_roe_config(**base)
+    feats = roe_sweep_features(np.asarray(clips, np.float32), **base)
+
+    combos = generate_param_combinations(threshold_grid)
+
+    def get(c, name):
+        v = c.get(name, base.get(name, getattr(cfg, name)))
+        return v
+
+    harm = jnp.asarray(
+        [np.asarray(get(c, "harmonic_threshold"), np.float32) for c in combos]
+    )
+    scalars = {
+        name: jnp.asarray([float(get(c, name)) for c in combos], jnp.float32)
+        for name in ("kurtosis_thr", "crest_thr", "diff_energy_thr",
+                     "min_drop_count", "rain_drop_min_thr",
+                     "rain_drop_max_thr", "rain_peaks_min_thr",
+                     "rain_peaks_max_thr")
+    }
+
+    def eval_combo(h6, k, cr, de, mdc, rdmin, rdmax, rpmin, rpmax):
+        return roe_apply_thresholds(
+            feats, harmonic_threshold=h6, kurtosis_thr=k, crest_thr=cr,
+            diff_energy_thr=de, min_drop_count=mdc, rain_drop_min_thr=rdmin,
+            rain_drop_max_thr=rdmax, rain_peaks_min_thr=rpmin,
+            rain_peaks_max_thr=rpmax,
+        )
+
+    mods = jax.jit(jax.vmap(eval_combo))(
+        harm, scalars["kurtosis_thr"], scalars["crest_thr"],
+        scalars["diff_energy_thr"], scalars["min_drop_count"],
+        scalars["rain_drop_min_thr"], scalars["rain_drop_max_thr"],
+        scalars["rain_peaks_min_thr"], scalars["rain_peaks_max_thr"],
+    )
+    predicted = np.asarray(mods) > 0       # (n_combos, B)
+    labels = np.asarray(labels, bool)
+
+    results = []
+    for i, combo in enumerate(combos):
+        pred = predicted[i]
+        tp = np.flatnonzero(pred & labels).tolist()
+        tn = np.flatnonzero(~pred & ~labels).tolist()
+        fp = np.flatnonzero(pred & ~labels).tolist()
+        fn = np.flatnonzero(~pred & labels).tolist()
+        results.append({
+            "parameters": combo,
+            "overall_accuracy": 1 - (len(fp) + len(fn)) / max(len(labels), 1),
+            "tp_classifications": tp, "tn_classifications": tn,
+            "fp_classifications": fp, "fn_classifications": fn,
+            "rain_drop_count_mod": np.asarray(mods)[i].tolist(),
+        })
+    return results

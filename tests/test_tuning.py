@@ -75,3 +75,57 @@ def test_grid_search_vmapped(rng):
     # an absurdly high threshold kills the rain detections
     assert by_thr[6.0]["overall_accuracy"] <= 0.5
     assert set(by_thr[1.8]["tp_classifications"]) == {0, 1}
+
+
+def test_roe_vmapped_sweep_matches_full_engine(rng):
+    """roe_grid_search_vmapped predictions == rain_detection_algo run
+    combo-by-combo (the front-end is shared; thresholds re-applied
+    elementwise)."""
+    from audio_processing_tools_tpu.models.roe import rain_detection_algo
+    from audio_processing_tools_tpu.tuning.grid_search import (
+        roe_grid_search_vmapped,
+    )
+
+    FS = 11162
+    n = FS * 4
+
+    def harmonic_rain(drops, fn=520.0):
+        x = 0.003 * rng.standard_normal(n)
+        k = np.arange(1000)
+        ping = sum((1.0 / h) * np.sin(2 * np.pi * fn * h * k / FS)
+                   for h in range(1, 6))
+        for t0 in rng.integers(0, n - 1200, drops):
+            x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+        return x
+
+    clips = np.stack([
+        harmonic_rain(40), harmonic_rain(12),
+        0.02 * rng.standard_normal(n), 0.004 * rng.standard_normal(n),
+    ]).astype(np.float32)
+    labels = np.array([True, True, False, False])
+
+    base = {"sample_rate": FS, "check_duration": 4}
+    grid = {
+        "harmonic_threshold": [
+            [4.5, 4.0, 3.5, 3.5, 3.5, 3.5],
+            [3.5, 3.0, 2.5, 2.5, 2.5, 2.5],
+            [6.0, 5.0, 4.5, 4.5, 4.5, 4.5],
+        ],
+        "crest_thr": [3.75, 3.0],
+        "min_drop_count": [0.3, 1.0],
+    }
+    res = roe_grid_search_vmapped(clips, labels, grid, base)
+    assert len(res) == 12
+
+    for r in res[:6]:  # exactness vs the full engine for half the combos
+        p = {**base, **r["parameters"]}
+        for i, clip in enumerate(clips):
+            mod, _, _ = rain_detection_algo(clip, return_spectra=False, **p)
+            assert mod == r["rain_drop_count_mod"][i], (r["parameters"], i)
+
+    # the sweep must separate the corpus at the default thresholds
+    default = next(r for r in res
+                   if r["parameters"]["harmonic_threshold"][0] == 4.5
+                   and r["parameters"]["crest_thr"] == 3.75
+                   and r["parameters"]["min_drop_count"] == 0.3)
+    assert default["overall_accuracy"] >= 0.75
