@@ -70,26 +70,54 @@ def local_rows(a) -> np.ndarray:
 
 
 class ShardedRainPipeline:
-    """The flagship batched step, pjit-sharded over a ``files`` mesh axis.
+    """A batched engine step, pjit-sharded over a ``files`` mesh axis.
 
     ``step(xb)`` returns per-clip outputs (sharded) plus replicated corpus
     aggregates — the multi-chip equivalent of
     ``process_audio_batches_v2``'s per-batch collection + ``pd.concat``.
+
+    ``model`` selects the engine: ``"spectral"`` (flagship detector,
+    default), ``"roe"`` (legacy harmonic-novelty classifier), or
+    ``"band_noise"`` (streaming firmware-shaped estimator) — every engine
+    family runs fleet-sharded through the same step contract.
     """
 
-    def __init__(self, params: Dict[str, Any], mesh: Mesh, axis: str = "files"):
+    def __init__(self, params: Dict[str, Any], mesh: Mesh, axis: str = "files",
+                 model: str = "spectral"):
+        if model not in ("spectral", "roe", "band_noise"):
+            raise ValueError(f"unknown model {model!r}")
+        self.model = model
         sr = int(params.get("sample_rate", params.get("fs", 11162)))
-        self.cfg = build_noise_config(sr, params)
-        self.cfg.validate()
         self.sr = sr
         self.mesh = mesh
         self.axis = axis
+        self.params = dict(params)
         self.clip_rain_min_frames = max(1, int(params.get("clip_rain_min_frames", 1)))
-        self._engine = SpectralNoiseEngine(self.cfg)
+        if model == "spectral":
+            self.cfg = build_noise_config(sr, params)
+            self.cfg.validate()
+            self._engine = SpectralNoiseEngine(self.cfg)
+        elif model == "roe":
+            from audio_processing_tools_tpu.models.roe import build_roe_config
+
+            self.cfg = build_roe_config(
+                **{**params, "return_spectra": False}
+            )
+        else:
+            from audio_processing_tools_tpu.models.band_noise import (
+                build_band_noise_config,
+            )
+
+            self.cfg = build_band_noise_config(params)
+            self.cfg.validate()
         self._compiled: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     def _traced_step(self, xb: jnp.ndarray) -> Dict[str, Any]:
+        if self.model == "roe":
+            return self._traced_step_roe(xb)
+        if self.model == "band_noise":
+            return self._traced_step_band_noise(xb)
         single = lambda x: self._engine._trace_single(x, self.sr)
         out = jax.vmap(single)(xb)
 
@@ -117,6 +145,49 @@ class ShardedRainPipeline:
             "total_rain_clips": jnp.sum(clip_is_rain.astype(jnp.int32)),
             "total_clips": jnp.asarray(xb.shape[0], jnp.int32),
             "mean_rain_fraction": jnp.mean(clip_rain_fraction),
+        }
+        return {"per_clip": per_clip, "aggregates": aggregates}
+
+    def _traced_step_roe(self, xb: jnp.ndarray) -> Dict[str, Any]:
+        from audio_processing_tools_tpu.models.roe import _roe_traced
+
+        n = int(xb.shape[-1])
+        out = jax.vmap(lambda x: _roe_traced(x, self.cfg, n))(xb)
+        mod = out["rain_drop_count_mod"]
+        per_clip = {
+            "rain_drop_count_mod": mod,
+            "rain_drop_count": out["rain_drop_count"],
+            "rain_peaks_count": out["rain_peaks_count"],
+            "frain_mean": out["frain_mean"],
+            "clip_is_rain": mod > 0,
+        }
+        aggregates = {
+            "total_rain_clips": jnp.sum((mod > 0).astype(jnp.int32)),
+            "total_drops": jnp.sum(mod),
+            "total_clips": jnp.asarray(xb.shape[0], jnp.int32),
+        }
+        return {"per_clip": per_clip, "aggregates": aggregates}
+
+    def _traced_step_band_noise(self, xb: jnp.ndarray) -> Dict[str, Any]:
+        from audio_processing_tools_tpu.models.band_noise import (
+            band_noise_process,
+        )
+
+        out = jax.vmap(lambda x: band_noise_process(x, self.cfg))(xb)
+        fft_rain_frac = jnp.mean(
+            out["fft_rain_frame"].astype(jnp.float32), axis=-1)
+        median_N_E = jnp.median(out["N_E"], axis=-1)
+        per_clip = {
+            "fft_rain_fraction": fft_rain_frac,
+            "median_N_E": median_N_E,
+            "median_G": jnp.median(out["G_mag"], axis=-1),
+            "clip_is_rain": fft_rain_frac > 0.05,
+        }
+        aggregates = {
+            "total_rain_clips": jnp.sum(
+                per_clip["clip_is_rain"].astype(jnp.int32)),
+            "mean_noise_energy": jnp.mean(median_N_E),
+            "total_clips": jnp.asarray(xb.shape[0], jnp.int32),
         }
         return {"per_clip": per_clip, "aggregates": aggregates}
 

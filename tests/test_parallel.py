@@ -81,3 +81,79 @@ def test_shard_batch_places_on_mesh(rng):
     mesh = make_mesh(4)
     xb = shard_batch(np.zeros((8, 256), np.float32), mesh)
     assert xb.sharding.num_devices == 4
+
+
+def test_sharded_pipeline_roe_model(rng):
+    """The legacy RoE classifier runs fleet-sharded through the same step
+    contract; sharded == unsharded batch."""
+    import jax.numpy as jnp
+
+    from audio_processing_tools_tpu.models.roe import roe_detect_batch
+    from audio_processing_tools_tpu.parallel import make_mesh, ShardedRainPipeline
+
+    FS = 11162
+    n = FS * 4
+    k = np.arange(1000)
+    ping = sum((1.0 / h) * np.sin(2 * np.pi * 520 * h * k / FS)
+               for h in range(1, 6))
+    clips = []
+    for b in range(8):
+        x = 0.003 * rng.standard_normal(n)
+        for t0 in rng.integers(0, n - 1200, 40 if b < 4 else 0):
+            x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+        clips.append(x)
+    xb = np.stack(clips).astype(np.float32)
+
+    pipe = ShardedRainPipeline(
+        {"sample_rate": FS, "check_duration": 4}, make_mesh(8), model="roe",
+    )
+    out = pipe.step(xb)
+    mod = np.asarray(out["per_clip"]["rain_drop_count_mod"])
+    ref = roe_detect_batch(xb, sample_rate=FS, check_duration=4)
+    np.testing.assert_array_equal(mod, ref["rain_drop_count_mod"])
+    agg = {k: int(np.asarray(v)) for k, v in out["aggregates"].items()
+           if k != "mean_noise_energy"}
+    assert agg["total_clips"] == 8
+    assert agg["total_rain_clips"] == int((ref["rain_drop_count_mod"] > 0).sum())
+    assert np.asarray(out["per_clip"]["clip_is_rain"]).sum() >= 3
+
+
+def test_sharded_pipeline_band_noise_model(rng):
+    import jax.numpy as jnp
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        BandNoiseEstimatorConfig,
+        band_noise_process,
+    )
+    from audio_processing_tools_tpu.parallel import make_mesh, ShardedRainPipeline
+
+    FS = 11162
+    n = FS * 3
+    clips = []
+    for b in range(8):
+        x = 0.01 * rng.standard_normal(n)
+        if b % 2 == 0:  # bursty rain-band energy
+            for t0 in range(FS, n - 3000, FS):
+                kk = np.arange(2500)
+                x[t0 : t0 + 2500] += 0.5 * np.exp(-kk / 400.0) * np.sin(
+                    2 * np.pi * 520 * kk / FS)
+        clips.append(x)
+    xb = np.stack(clips).astype(np.float32)
+
+    pipe = ShardedRainPipeline({"sample_rate": FS}, make_mesh(8),
+                               model="band_noise")
+    out = pipe.step(xb)
+    frac = np.asarray(out["per_clip"]["fft_rain_fraction"])
+    # sharded result == direct per-clip run
+    cfg = BandNoiseEstimatorConfig()
+    ref = np.asarray(band_noise_process(jnp.asarray(xb[0]), cfg)
+                     ["fft_rain_frame"]).astype(np.float32).mean()
+    assert abs(frac[0] - ref) < 1e-7
+    assert int(np.asarray(out["aggregates"]["total_clips"])) == 8
+
+
+def test_sharded_pipeline_rejects_unknown_model():
+    from audio_processing_tools_tpu.parallel import make_mesh, ShardedRainPipeline
+
+    with pytest.raises(ValueError, match="unknown model"):
+        ShardedRainPipeline({"sample_rate": 11162}, make_mesh(2), model="bogus")
