@@ -300,3 +300,56 @@ def test_audio_metadata_handler_fake_backend(monkeypatch, rng):
     for col in ("device_id", "time", "sample_rate", "lat", "long", "duration"):
         assert col in first.columns, col
     assert list(first["device_id"]) == ["D0", "D1"]  # batch_size=2 flushes
+
+
+def test_mark_parser_fuzz_random_bytes(rng):
+    """Random bytes never crash the parser: bad magic falls back to raw-PCM
+    defaults (reference parse.py:202-215)."""
+    from audio_processing_tools_tpu.io.mark import parse_mark_audio_file
+
+    for n in (0, 1, 39, 40, 41, 100, 4096):
+        blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        if blob[:4] == b"\xAD\xFB\xCA\xDE":  # astronomically unlikely
+            continue
+        sig, meta = parse_mark_audio_file(blob)
+        assert meta["sample_rate"] == 11162 and meta["format"] == "pcm"
+        assert sig.dtype == np.int16 and len(sig) == n // 2
+
+
+def test_mark_parser_fuzz_corrupt_headers(rng):
+    """Valid magic + garbage header fields parse without crashing."""
+    from audio_processing_tools_tpu.io.mark import (
+        MARK_MAGIC,
+        parse_mark_audio_file,
+    )
+
+    for _ in range(20):
+        body = rng.integers(0, 256, 36, dtype=np.uint8).tobytes()
+        payload = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+        blob = MARK_MAGIC + body + payload
+        ver = blob[15]
+        if ver >= 1:
+            continue  # garbage ALAC payloads legitimately error
+        bits = blob[13]
+        if bits != 0 and (bits % 8 != 0):
+            with pytest.raises(ValueError, match="bit depth"):
+                parse_mark_audio_file(blob)
+            continue
+        sig, meta = parse_mark_audio_file(blob)
+        assert sig.dtype == np.int16
+
+
+def test_ber_integer_properties():
+    from audio_processing_tools_tpu.io.caf import read_ber_integer
+
+    # canonical encodings round-trip
+    for v in (0, 1, 127, 128, 255, 16383):
+        if v < 0x80:
+            enc = bytes([v])
+        else:
+            enc = bytes([0x80 | (v >> 7), v & 0x7F])
+        got, used = read_ber_integer(enc + b"\xff", len(enc))
+        assert (got, used) == (v, len(enc))
+    # runaway continuation bytes terminate safely
+    v, used = read_ber_integer(b"\xff" * 10, 10)
+    assert v == 0 and used == 6
