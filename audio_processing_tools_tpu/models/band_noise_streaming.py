@@ -16,7 +16,7 @@ firmware-porting work; it is differential-tested against the scan outputs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -173,7 +173,6 @@ def test_suppressor_debug_panels(engine_out):
 def test_labeler_process_index_plays_audio(tmp_path, rng, monkeypatch):
     """The labeling loop surfaces the IPython audio widget
     (reference labeler.py:216-262)."""
-    import contextlib
     import IPython.display as ipd
     import audio_processing_tools_tpu.io.fetch as fetch
     from audio_processing_tools_tpu.io.mark import write_mark_audio_file
