@@ -8,6 +8,8 @@ traced values (thresholds, gates) run as a single ``vmap`` over combos.
 from audio_processing_tools_tpu.tuning.grid_search import (
     grid_search,
     grid_search_parallel,
+    grid_search_vmapped,
+    roe_grid_search_vmapped,
     generate_param_combinations,
 )
 from audio_processing_tools_tpu.tuning.classification_algo import (
@@ -24,6 +26,8 @@ from audio_processing_tools_tpu.tuning.call_native import (
 __all__ = [
     "grid_search",
     "grid_search_parallel",
+    "grid_search_vmapped",
+    "roe_grid_search_vmapped",
     "generate_param_combinations",
     "python_classifier_wrapper",
     "c_classifier_wrapper",
