@@ -131,3 +131,40 @@ def test_legacy_fmin_fmax():
              "oversub_max": 2.0}
     )
     assert cfg2.oversub_max == 2.0 and cfg2.q == 0.4
+
+
+@pytest.mark.parametrize("kind", ["silence", "dc", "clipped"])
+def test_engine_extreme_inputs_stay_finite(kind, rng):
+    """Silence / DC offset / hard clipping never produce NaN/Inf outputs."""
+    from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
+
+    n = FS * 2
+    if kind == "silence":
+        x = np.zeros(n, np.float32)
+    elif kind == "dc":
+        x = np.full(n, 0.25, np.float32)
+    else:
+        x = np.clip(5.0 * rng.standard_normal(n), -1, 1).astype(np.float32)
+
+    eng = SpectralNoiseEngine()
+    eng.setup({"sample_rate": FS, "detector": DET})
+    out = eng.process(x)
+    assert np.isfinite(np.asarray(out["rain_conf"])).all()
+    assert np.isfinite(np.asarray(out["noise_conf"])).all()
+    fc = np.asarray(out["frame_class"])
+    assert set(np.unique(fc)).issubset({0, 1, 2})
+    if kind in ("silence", "dc"):
+        assert (fc != 2).all(), "steady input must not classify as rain"
+
+
+def test_roe_extreme_inputs_stay_finite(rng):
+    from audio_processing_tools_tpu.models.roe import rain_detection_algo
+
+    FS_ = 11162
+    for x in (np.zeros(FS_ * 2, np.float32),
+              np.clip(5 * rng.standard_normal(FS_ * 2), -1, 1).astype(np.float32)):
+        drops, frain, state = rain_detection_algo(
+            x, sample_rate=FS_, check_duration=2, return_spectra=False)
+        assert np.isfinite(frain)
+        assert drops >= 0
+        assert np.isfinite(np.asarray(state["kurtosis"])).all()
