@@ -233,6 +233,11 @@ class ShardedRainPipeline:
                 d.process_index == jax.process_index()
                 for d in self.mesh.devices.flat
             )
+            if n_pad_to == 0:
+                raise ValueError(
+                    "this process owns no devices in the mesh; every "
+                    "participating host must contribute devices (and rows)"
+                )
         else:
             n_pad_to = self.mesh.devices.size
         B = xb.shape[0]
