@@ -26,6 +26,15 @@ import time
 import numpy as np
 
 
+def _hbm_in_use(jax) -> int | None:
+    """Device memory in use (bytes), when the backend reports it."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use")) if stats else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU smoke run")
@@ -204,6 +213,7 @@ def main() -> None:
         "p50_file_latency_ms": round(p50_ms, 1),
         "pallas_max_rel_dev": pallas_dev,
         "codec": "alac" if args.alac else "pcm",
+        "hbm_bytes_in_use": _hbm_in_use(jax),
         "backend": jax.default_backend(),
     }))
 
