@@ -108,3 +108,29 @@ def test_native_bad_input(lib):
         ctypes.byref(inp), ctypes.byref(out), ctypes.byref(cfg)
     )
     assert r == -1
+
+
+def test_python_native_differential_corpus_classes(lib, rng):
+    """Three-way agreement on the synthetic corpus's adversarial classes
+    (wind gusts, tonal hum): JAX == C++ on every clip."""
+    from audio_processing_tools_tpu.utils.corpus import (
+        CLASS_IS_RAIN,
+        make_labeled_corpus,
+    )
+
+    params = dict(
+        sample_rate=FS, check_duration=2, op_freq_range=[400, 3500],
+        n_freq_range=[400, 700],
+        harmonic_threshold=[4.5, 4.0, 3.5, 3.5, 3.5, 3.5],
+        min_drop_count=0.3,
+    )
+    clips, labels, kinds = make_labeled_corpus(
+        seed=21, seconds=2.0,
+        counts={"noise": 2, "wind": 3, "tonal": 3},
+    )
+    for x, kind in zip(clips, kinds):
+        py = python_classifier_wrapper(x, **params)
+        cc = c_classifier_wrapper(x, **params)
+        assert py == cc, f"{kind}: python={py} native={cc}"
+        # none of these non-rain classes should trip the RoE classifier
+        assert py == CLASS_IS_RAIN[kind] == False  # noqa: E712
