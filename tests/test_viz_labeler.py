@@ -205,3 +205,65 @@ def test_labeler_process_index_plays_audio(tmp_path, rng, monkeypatch):
     # first <=15 s segment, float-scaled
     assert data.shape[0] == min(len(pcm), 15 * FS)
     assert np.abs(data).max() <= 1.0
+
+
+def test_labeler_button_flow_upserts_label(tmp_path, rng, monkeypatch):
+    """Raining/Not-Raining button flow: label row built (uid, creator,
+    manual flags) and upserted to device_audio_rain_classification
+    (reference labeler.py:264-301, 358-414)."""
+    import audio_processing_tools_tpu.io.db as db
+    import audio_processing_tools_tpu.labeler as labeler_mod
+    from ipywidgets import Output
+
+    upserts = []
+    monkeypatch.setattr(db, "upsert_df",
+                        lambda df, table, eng, **kw: upserts.append((table, df)))
+    # no network for the creator-IP lookup
+    import sys as _sys
+    import types as _types
+    fake_requests = _types.ModuleType("requests")
+    def _boom(*a, **k):
+        raise OSError("no egress")
+    fake_requests.get = _boom
+    monkeypatch.setitem(_sys.modules, "requests", fake_requests)
+    # run the upsert inline instead of a daemon thread
+    import threading
+
+    class InlineThread:
+        def __init__(self, target=None, args=(), daemon=None):
+            self.target, self.args = target, args
+
+        def start(self):
+            self.target(*self.args)
+
+    monkeypatch.setattr(labeler_mod.threading, "Thread", InlineThread,
+                        raising=False) if hasattr(labeler_mod, "threading") \
+        else monkeypatch.setattr(threading, "Thread", InlineThread)
+
+    df = pd.DataFrame({
+        "source_file": ["k1"], "device_id": ["DEV1"],
+        "time": [pd.Timestamp("2024-01-01")],
+    })
+    lab = TestVectorLabeler(df, db_engine=None, db_engine_upsert=object(),
+                            out_folder=str(tmp_path))
+    data = df.iloc[0].copy()
+    data["segment_start_seconds"] = 0
+    data["segment_end_seconds"] = 15
+
+    clicked = []
+    handler = lab.make_button_handler(
+        data, Output(), True, lambda: clicked.append(True))
+    handler(None)
+
+    assert clicked == [True]
+    assert len(upserts) == 1
+    table, row_df = upserts[0]
+    assert table == "device_audio_rain_classification"
+    row = row_df.reset_index().iloc[0]
+    assert row["raining"] == True  # noqa: E712
+    assert row["manually_labeled"] == True  # noqa: E712
+    assert row["source"] == "manually labeled"
+    assert row["creator"] == "unknown"  # network-less fallback
+    assert row_df.index.name == "uid"
+    uid = row_df.index[0]
+    assert uid == TestVectorLabeler.generate_uid("k1" + "0" + "15")
