@@ -267,3 +267,54 @@ def test_labeler_button_flow_upserts_label(tmp_path, rng, monkeypatch):
     assert row_df.index.name == "uid"
     uid = row_df.index[0]
     assert uid == TestVectorLabeler.generate_uid("k1" + "0" + "15")
+
+
+def test_labeler_device_context_plot_with_ibm_overlay(monkeypatch):
+    """Device-context plot + IBM precip overlay on a fake DB
+    (reference labeler.py:133-214)."""
+    import matplotlib.pyplot as plt
+
+    import audio_processing_tools_tpu.io.db as db
+
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    audio_df = pd.DataFrame({
+        "source_file": [f"k{i}" for i in range(5)],
+        "device_id": ["DEV1"] * 4 + ["DEV2"],
+        "time": [t0 + pd.Timedelta(hours=h) for h in (-30, -2, 0, 2, 0)],
+        "lat": [45.0] * 5, "long": [-122.0] * 5,
+    }).set_index("source_file", drop=False)
+
+    ibm = pd.DataFrame({
+        "time": [t0 + pd.Timedelta(hours=h) for h in range(-4, 5)],
+        "ibm_precip": np.linspace(0, 2.0, 9),
+    })
+    queries = []
+
+    def fake_get_db_data(q, eng, **kw):
+        queries.append(q)
+        return ibm
+
+    monkeypatch.setattr(db, "get_db_data", fake_get_db_data)
+    monkeypatch.setattr(plt, "show", lambda: None)
+
+    TestVectorLabeler.plot_device_context(
+        object(), "k2", audio_df, window_size=5, display_ibm_data=True)
+    fig = plt.gcf()
+    # main axis: adjacent recordings + current file; twin axis: IBM precip
+    assert len(fig.axes) == 2
+    main, twin = fig.axes
+    assert len(main.lines) == 2
+    adjacent_x = main.lines[0].get_xdata()
+    assert len(adjacent_x) == 4  # all DEV1 recordings in window; DEV2 excluded
+    assert len(twin.lines) == 1 and len(twin.lines[0].get_ydata()) == 9
+    assert "ext_weather.hist_local_hourly" in queries[0]
+    assert "44.995" in queries[0]  # lat +- 0.005 window
+    plt.close("all")
+
+    # bad coordinates: plot still renders, no IBM query
+    queries.clear()
+    audio_df2 = audio_df.assign(lat=0.0, long=0.0)
+    TestVectorLabeler.plot_device_context(
+        object(), "k2", audio_df2, window_size=5, display_ibm_data=True)
+    assert not queries
+    plt.close("all")
