@@ -308,7 +308,7 @@ def test_labeler_device_context_plot_with_ibm_overlay(monkeypatch):
     assert len(adjacent_x) == 4  # all DEV1 recordings in window; DEV2 excluded
     assert len(twin.lines) == 1 and len(twin.lines[0].get_ydata()) == 9
     assert "ext_weather.hist_local_hourly" in queries[0]
-    assert "44.995" in queries[0]  # lat +- 0.005 window
+    assert "lat BETWEEN 45.0 - 0.005" in queries[0]  # +-0.005 coord window
     plt.close("all")
 
     # bad coordinates: plot still renders, no IBM query
