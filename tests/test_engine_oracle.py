@@ -59,3 +59,82 @@ def test_classifier_matches_full_oracle(engine, rng, kind):
         ours, ref["normalized_mode_flux"], rtol=0.05, atol=0.05
     )
     np.testing.assert_array_equal(np.asarray(dd["td_gate_mask"]), ref["td_gate"])
+
+
+def test_suppressor_path_matches_composed_oracle(rng):
+    """Full suppressor half vs an independent float64 composition of the
+    loop oracles: classifier decisions -> NOISE-gated PSD tracker ->
+    oversubtraction gain -> S_hat. Verifies the engine's second half end to
+    end (reference rain_signal_processor.py:1028-1125)."""
+    import scipy.signal as spsig
+
+    from tests.oracles import (
+        noise_psd_track_loop,
+        spectral_engine_oracle,
+        stft_librosa,
+    )
+
+    x = _rain(rng)
+    eng = SpectralNoiseEngine()
+    eng.setup({
+        "sample_rate": FS,
+        "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+        "return_debug": True, "return_spectra": True,
+        "return_detector_debug": True,
+    })
+    out = eng.process(x)
+    G_eng = np.asarray(out["debug"]["G"])
+
+    # ---- independent float64 oracle composition ----
+    ref = spectral_engine_oracle(x.astype(np.float64), FS)
+    n_fft, hop, eps = 256, 128, 1e-9
+    S = stft_librosa(x.astype(np.float64), n_fft, hop)
+    P = np.abs(S) ** 2
+    F, T = P.shape
+    freqs = np.linspace(0, FS / 2, F)
+    band = (freqs >= 400.0) & (freqs <= 3500.0)
+
+    is_noise = ref["frame_class"] == 0
+    fps = FS / hop
+    W = max(10, int(0.5 * fps))
+    N_band = noise_psd_track_loop(P[band], ~is_noise, W=W, q=0.25,
+                                  ema_up=0.6, ema_down=0.95)
+    P_band = P[band]
+    N_eff = np.minimum(N_band, P_band)  # maxr = 1.0, unlagged (defaults)
+
+    noise_conf = 1.0 - ref["is_rain"].astype(np.float64)
+    th, denom = 0.7, 0.3
+    eff = np.clip((noise_conf - th) / denom, 0, 1)
+    oversub = 1.0 + eff * 2.0
+    ratio = np.clip(N_eff / (P_band + eps), 0, 1)
+    G_raw = np.clip(1.0 - oversub[None, :] * np.sqrt(ratio), 0.0, 1.0)
+    kernel = np.array([0.2, 0.6, 0.2])
+    G_freq = G_raw.copy()
+    for t in range(T):
+        if noise_conf[t] >= th:
+            G_freq[:, t] = np.convolve(G_raw[:, t], kernel, mode="same")
+    G_time = np.empty_like(G_freq)
+    G_time[:, 0] = G_freq[:, 0]
+    for t in range(1, T):
+        alpha = 0.0 if noise_conf[t] < th else 0.7 * (noise_conf[t] - th) / denom
+        G_time[:, t] = alpha * G_time[:, t - 1] + (1 - alpha) * G_freq[:, t]
+        if noise_conf[t] < th:
+            G_time[:, t] = np.maximum(G_time[:, t], G_freq[:, t])
+    G_ref = np.clip(G_time, 0.0, 1.0)
+
+    # classifier decisions agree >=99%; on agreeing frames the gain must
+    # match tightly (f32 engine vs f64 oracle through two causal trackers)
+    agree_frames = ref["frame_class"] == np.asarray(out["frame_class"])
+    assert agree_frames.mean() >= 0.99
+    Gb_eng = G_eng[band][:, agree_frames]
+    Gb_ref = G_ref[:, agree_frames]
+    med_err = np.median(np.abs(Gb_eng - Gb_ref))
+    p99_err = np.quantile(np.abs(Gb_eng - Gb_ref), 0.99)
+    assert med_err < 0.01, med_err
+    assert p99_err < 0.15, p99_err
+    # out-of-band rows pass through untouched
+    np.testing.assert_array_equal(G_eng[~band], 1.0)
+    # suppressed spectrum = G * S on device
+    S_dev = np.asarray(out["S"])
+    Sh_dev = np.asarray(out["S_hat"])
+    np.testing.assert_allclose(Sh_dev, G_eng * S_dev, rtol=1e-5, atol=1e-6)
