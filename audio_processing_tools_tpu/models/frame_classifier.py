@@ -20,6 +20,7 @@ from enum import IntEnum
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.config import NoiseConfig
@@ -87,8 +88,13 @@ def _mode_flux(P_band: jnp.ndarray, mode_masks: np.ndarray,
         d2 = jnp.maximum(P_band[:, 2:] - P_band[:, :-2], 0.0)
         flux = flux.at[:, 2:].set(d2)
     sel = jnp.asarray(mode_masks.astype(np.float32))       # (n_modes, K)
-    mode_flux_by_mode = sel @ flux                          # (n_modes, T)
-    flux_primary = jnp.asarray(primary_mask.astype(np.float32)) @ flux
+    # HIGHEST: TPU default matmul precision is bf16; flux feeds threshold
+    # decisions, so the band reduce must be exact f32
+    mode_flux_by_mode = jax.lax.dot(
+        sel, flux, precision=jax.lax.Precision.HIGHEST)     # (n_modes, T)
+    flux_primary = jax.lax.dot(
+        jnp.asarray(primary_mask.astype(np.float32))[None, :], flux,
+        precision=jax.lax.Precision.HIGHEST)[0]
     if mode_weights is not None:
         w = jnp.asarray(np.asarray(mode_weights, np.float32))
         flux_modes = jnp.sum(w[:, None] * mode_flux_by_mode, axis=0)

@@ -197,7 +197,8 @@ class StreamingRainDetector:
         state["pdet_tail"] = hist[-2:]
 
         sel = jnp.asarray(mode_masks.astype(np.float32))     # (n_modes, K)
-        mode_flux = d2 @ sel.T                               # (T_c, n_modes)
+        mode_flux = jax.lax.dot(d2, sel.T,
+                                precision=jax.lax.Precision.HIGHEST)  # (T_c, n_modes)
         flux_all = jnp.sum(mode_flux, axis=-1)               # (T_c,)
 
         # ---- causal baselines (carried) ----

@@ -224,13 +224,18 @@ class TimeDomainRainDetector:
             sub = seg[rows, :ln]
             e = hilbert_envelope(sub)
             if smooth_len > 1:
-                pad_l = (smooth_len - 1) // 2
+                # np.convolve(mode="same") REVERSES the kernel, so for an
+                # even-length boxcar the window is [t-ceil, t+floor], not
+                # [t-floor, t+ceil]; the mirrored split shifted every
+                # envelope peak by one sample vs the reference
+                pad_l = smooth_len // 2
                 pad_r = smooth_len - 1 - pad_l
                 ep = jnp.pad(e, ((0, 0), (pad_l, pad_r)))
                 e = jnp.stack(
                     [ep[:, i : i + ln] for i in range(smooth_len)], axis=0
                 )
-                e = jnp.tensordot(jnp.asarray(kernel, jnp.float32), e, axes=1)
+                e = jnp.tensordot(jnp.asarray(kernel, jnp.float32), e, axes=1,
+                                  precision=jax.lax.Precision.HIGHEST)
             env = env.at[np.ix_(rows, np.arange(ln))].set(e)
 
         confirmed, n_peaks, crest, kurt, peak_mask = _analyze_windows(

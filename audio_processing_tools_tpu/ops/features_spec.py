@@ -257,7 +257,9 @@ def clip_spectral_occupancy(
         else:
             masks.append((freqs >= lo) & (freqs < hi))
     sel = jnp.asarray(np.stack(masks).astype(np.float32))  # (n_bands, F)
-    band_power = sel @ raw_power.astype(jnp.float32)  # (n_bands, T)
+    # HIGHEST: TPU default matmul precision is bf16
+    band_power = jax.lax.dot(sel, raw_power.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)  # (n_bands, T)
 
     total = jnp.sum(band_power, axis=0) + eps
     log_power = jnp.log1p(jnp.maximum(band_power, 0.0))

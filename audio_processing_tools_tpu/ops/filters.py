@@ -53,7 +53,25 @@ def butter_sos(order: int, wn, btype: str = "lowpass") -> np.ndarray:
     Equivalent to ``scipy.signal.butter(order, wn, btype, output="sos")``
     for lowpass/highpass/bandpass/bandstop.  ``wn`` is normalized to Nyquist
     (scipy convention).  Pure NumPy float64; returns ``(n_sections, 6)``.
+
+    When scipy is importable (it is in the supported environment) the design
+    is delegated to ``scipy.signal.butter`` so the SOS *section ordering and
+    zero pairing* match scipy exactly: the hand-rolled ``_zpk_to_sos`` below
+    produces the same transfer function but orders the highest-Q section
+    first, which measurably degrades float32 cascade numerics (a ~7% local
+    deviation vs float64 sosfiltfilt on 2-s clips, found by the differential
+    harness in ``tests/test_reference_differential.py``) and breaks
+    decision-level parity with the reference's scipy filters.  Design runs at
+    trace time on the host, so this costs nothing on device.
     """
+    try:
+        import scipy.signal as _spsig
+    except ImportError:
+        _spsig = None
+    if _spsig is not None:
+        return np.asarray(
+            _spsig.butter(order, wn, btype=btype, output="sos"), np.float64
+        )
     btype = btype.lower()
     if btype in ("band", "bandpass"):
         btype = "bandpass"
@@ -266,36 +284,39 @@ def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
     return zi
 
 
-def _section_AB(sos_row) -> tuple[np.ndarray, np.ndarray, float]:
-    b0, b1, b2, _, a1, a2 = [float(v) for v in sos_row]
-    A = np.array([[-a1, 1.0], [-a2, 0.0]])
-    B = np.array([b1 - a1 * b0, b2 - a2 * b0])
-    return A, B, b0
-
-
-@partial(jax.jit, static_argnames=("axis", "block"))
-def _sosfilt_section_pscan(x: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray, b0: float,
+@partial(jax.jit, static_argnames=("a1", "a2", "bv0", "bv1", "b0", "axis",
+                                   "block"))
+def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
+                           bv0: float, bv1: float, b0: float,
                            zi: jnp.ndarray, axis: int = -1, block: int = 512
                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One biquad over the last axis as a blocked two-level parallel scan.
 
-    z[n] = A z[n-1] + B x[n]  (affine recurrence), y[n] = b0 x[n] + z0[n-1].
+    State-space form of DF2T with A = [[-a1, 1], [-a2, 0]],
+    B = [b1 - a1*b0, b2 - a2*b0] (= ``bv0, bv1``):
 
-    A flat ``associative_scan`` over T ~ 1e5 samples materializes
-    O(T log T) 2x2-matrix traffic; the blocked form is HBM-light:
+        z[n] = A z[n-1] + B x[n],   y[n] = b0 x[n] + z0[n-1]
+
+    The blocked form is HBM-light vs a flat associative scan:
       1. in-block prefix affines: one ``lax.scan`` of ``block`` steps,
          vectorized over (batch x n_blocks) — the time axis is folded so the
          sequential length is only ``block``;
       2. block-boundary states: a tiny ``lax.scan`` over n_blocks;
       3. per-sample states: prefix applied to the block-start state,
          elementwise.
+
+    All 2x2 affine algebra is expanded to scalar mul/adds on purpose: these
+    run as exact-float32 VPU ops on TPU, whereas ``einsum``/``dot`` forms are
+    MXU matmuls whose TPU default precision is bfloat16 — which injected
+    ~2e-3 relative error per section into the filtered signal (found by
+    `tests/test_reference_differential.py` on the time-domain detector).
+    Scalar FMAs are also faster here: the operands are 2-vectors, far below
+    MXU tile size.
     """
     xT = jnp.moveaxis(x, axis, -1)
     shape = xT.shape
     T = shape[-1]
     dt = xT.dtype
-    A = A.astype(dt)
-    B = B.astype(dt)
 
     nb = -(-T // block)
     pad = nb * block - T
@@ -303,42 +324,61 @@ def _sosfilt_section_pscan(x: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray, b0: f
     xb = xp.reshape(shape[:-1] + (nb, block))          # (..., nb, block)
     xs = jnp.moveaxis(xb, -1, 0)                       # (block, ..., nb)
 
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=dt), shape[:-1] + (nb, 2, 2))
-    zeros = jnp.zeros(shape[:-1] + (nb, 2), dt)
+    ones = jnp.ones(shape[:-1] + (nb,), dt)
+    zeros = jnp.zeros(shape[:-1] + (nb,), dt)
 
     def step(carry, x_t):
-        Mp, vp = carry
-        Mn = jnp.einsum("ij,...jk->...ik", A, Mp)
-        vn = jnp.einsum("ij,...j->...i", A, vp) + x_t[..., None] * B
-        return (Mn, vn), (Mn, vn)
+        m00, m01, m10, m11, v0, v1 = carry
+        # M' = A @ M ; v' = A v + x_t * B   (A rows: [-a1, 1], [-a2, 0])
+        n00 = m10 - a1 * m00
+        n01 = m11 - a1 * m01
+        n10 = -a2 * m00
+        n11 = -a2 * m01
+        w0 = v1 - a1 * v0 + bv0 * x_t
+        w1 = -a2 * v0 + bv1 * x_t
+        out = (n00, n01, n10, n11, w0, w1)
+        return out, out
 
-    (_, _), (Mpref, vpref) = jax.lax.scan(step, (eye, zeros), xs)
-    # Mpref/vpref: (block, ..., nb, 2, 2) / (block, ..., nb, 2)
+    init = (ones, zeros, zeros, ones, zeros, zeros)
+    _, pref = jax.lax.scan(step, init, xs)
+    p00, p01, p10, p11, pv0, pv1 = pref   # each (block, ..., nb)
 
-    # block composites = last prefix of each block
-    Mc = jnp.moveaxis(Mpref[-1], -3, 0)  # (nb, ..., 2, 2)
-    vc = jnp.moveaxis(vpref[-1], -2, 0)  # (nb, ..., 2)
+    # block composites = last prefix of each block, scanned over nb
+    comp = tuple(jnp.moveaxis(c[-1], -1, 0) for c in pref)  # each (nb, ...)
 
     zi_b = jnp.broadcast_to(zi.astype(dt), shape[:-1] + (2,))
 
-    def block_step(z, mv):
-        M, v = mv
-        zn = jnp.einsum("...ij,...j->...i", M, z) + v
-        return zn, z  # emit the block-START state
+    def block_step(z, c):
+        c00, c01, c10, c11, cv0, cv1 = c
+        z0, z1 = z
+        zn0 = c00 * z0 + c01 * z1 + cv0
+        zn1 = c10 * z0 + c11 * z1 + cv1
+        return (zn0, zn1), (z0, z1)  # emit the block-START state
 
-    z_last, z_starts = jax.lax.scan(block_step, zi_b, (Mc, vc))
-    z_starts = jnp.moveaxis(z_starts, 0, -2)  # (..., nb, 2)
-
-    # per-sample z[t] within each block
-    z_all = jnp.einsum("t...ij,...j->t...i", Mpref, z_starts) + vpref
-    z_all = jnp.moveaxis(z_all, 0, -2)        # (..., nb, block, 2)
-    z_flat = z_all.reshape(shape[:-1] + (nb * block, 2))[..., :T, :]
-
-    z_prev0 = jnp.concatenate(
-        [zi_b[..., :1], z_flat[..., :-1, 0]], axis=-1
+    (zl0, zl1), (zs0, zs1) = jax.lax.scan(
+        block_step, (zi_b[..., 0], zi_b[..., 1]), comp
     )
+    zs0 = jnp.moveaxis(zs0, 0, -1)  # (..., nb)
+    zs1 = jnp.moveaxis(zs1, 0, -1)
+
+    # per-sample z0[t] within each block (z1 only needed at the final sample)
+    z0_all = p00 * zs0 + p01 * zs1 + pv0         # (block, ..., nb)
+    z0_flat = jnp.moveaxis(z0_all, 0, -1)        # (..., nb, block)
+    z0_flat = z0_flat.reshape(shape[:-1] + (nb * block,))[..., :T]
+
+    z_prev0 = jnp.concatenate([zi_b[..., :1], z0_flat[..., :-1]], axis=-1)
     y = b0 * xT + z_prev0
-    z_final = z_flat[..., -1, :]
+
+    # final state: prefix at the last *valid* sample applied to the last
+    # block's start state
+    t_last = T - 1 - (nb - 1) * block
+    lb0 = zs0[..., -1]
+    lb1 = zs1[..., -1]
+    zf0 = (p00[t_last, ..., -1] * lb0 + p01[t_last, ..., -1] * lb1
+           + pv0[t_last, ..., -1])
+    zf1 = (p10[t_last, ..., -1] * lb0 + p11[t_last, ..., -1] * lb1
+           + pv1[t_last, ..., -1])
+    z_final = jnp.stack([zf0, zf1], axis=-1)
     return jnp.moveaxis(y, -1, axis), z_final
 
 
@@ -366,9 +406,10 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
     y = x
     zf = []
     for s in range(n_sections):
-        A, B, b0 = _section_AB(sos[s])
+        b0, b1, b2, _, a1, a2 = [float(v) for v in sos[s]]
         y, zfs = _sosfilt_section_pscan(
-            y, jnp.asarray(A), jnp.asarray(B), b0, zi_arr[..., s, :], axis=axis
+            y, a1=a1, a2=a2, bv0=b1 - a1 * b0, bv1=b2 - a2 * b0, b0=b0,
+            zi=zi_arr[..., s, :], axis=axis,
         )
         zf.append(zfs)
     zf = jnp.stack(zf, axis=-2)  # (..., n_sections, 2)

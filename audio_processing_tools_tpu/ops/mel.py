@@ -104,7 +104,10 @@ def mel_spectrogram(x: jnp.ndarray, *, sr: int = 11162, n_fft: int = 256,
     fb = jnp.asarray(
         mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk).astype(np.float32)
     )
-    M = jnp.einsum("mf,...ft->...mt", fb, P)
+    # HIGHEST: TPU default matmul precision is bf16; the filterbank reduce
+    # must hold the <1e-5 parity bound
+    M = jnp.einsum("mf,...ft->...mt", fb, P,
+                   precision=jax.lax.Precision.HIGHEST)
     if log:
         M = 10.0 * jnp.log10(jnp.maximum(M, 1e-10))
     return M
@@ -120,7 +123,8 @@ def band_energies(P: jnp.ndarray, freqs: np.ndarray,
     sel = np.stack([
         ((freqs >= lo) & (freqs <= hi)).astype(np.float32) for lo, hi in bands
     ])
-    E = jnp.einsum("bf,...ft->...bt", jnp.asarray(sel), P)
+    E = jnp.einsum("bf,...ft->...bt", jnp.asarray(sel), P,
+                   precision=jax.lax.Precision.HIGHEST)
     if db:
         E = 10.0 * jnp.log10(jnp.maximum(E, eps))
     return E

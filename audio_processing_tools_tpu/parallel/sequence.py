@@ -187,7 +187,8 @@ def sequence_sharded_band_flux(
         # global frames 0,1 are warm-up zeros
         gidx = idx * T_loc + jnp.arange(T_loc)
         d2 = jnp.where((gidx >= 2)[:, None], d2, 0.0)
-        flux = d2 @ jnp.asarray(masks).T            # (T_loc, n_modes)
+        flux = jax.lax.dot(d2, jnp.asarray(masks).T,
+                           precision=jax.lax.Precision.HIGHEST)  # (T_loc, n_modes)
         return Pb, flux
 
     fn = shard_map(local, mesh=mesh, in_specs=P(axis),

@@ -31,7 +31,12 @@ finite_signal = st.integers(0, 2**31 - 1).map(
 def test_stft_power_scales_quadratically(x, scale):
     P1 = np.asarray(stft_power(jnp.asarray(x)))
     P2 = np.asarray(stft_power(jnp.asarray(np.float32(scale) * x)))
-    np.testing.assert_allclose(P2, scale**2 * P1, rtol=2e-4, atol=1e-10)
+    # Tolerance is measured in units of the spectrum's peak: near-zero bins
+    # suffer float32 cancellation (scale*x rounds before squaring), so a
+    # fixed tiny atol (1e-10) falsified e.g. scale=3.0 at 1/2193 bins with
+    # abs diff ~1e-9 — a test bug, not an engine bug.
+    atol = 1e-6 * float(scale**2 * P1.max() + 1e-30)
+    np.testing.assert_allclose(P2, scale**2 * P1, rtol=5e-4, atol=atol)
 
 
 @settings(max_examples=20, deadline=None)
