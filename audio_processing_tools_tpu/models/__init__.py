@@ -6,4 +6,5 @@
   time_domain      — stage-2 time-domain droplet confirmation
   roe              — legacy harmonic-novelty ("RoE") classifier
   dsd_emulator     — bit-faithful firmware DSD minute-histogram emulator
+  mel_classifier   — mel band-energy rain classifier (BASELINE config #3)
 """

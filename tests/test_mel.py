@@ -107,3 +107,70 @@ def test_mel_features_to_rain_label_end_to_end(rng):
     predicted = score > thr
     acc = (predicted == labels).mean()
     assert acc == 1.0, (acc, list(zip(kinds, score.round(1), labels)))
+
+
+def test_mel_classifier_engine_separates_corpus():
+    """MelRainClassifier (the pipeline consumer of ops/mel) labels the
+    synthetic corpus perfectly, batched in one jitted program."""
+    from audio_processing_tools_tpu.models.mel_classifier import MelRainClassifier
+    from audio_processing_tools_tpu.utils.corpus import make_labeled_corpus
+
+    clips, labels, kinds = make_labeled_corpus(
+        seed=13, fs=FS, seconds=2.0,
+        counts={"rain_heavy": 4, "rain_light": 3, "noise": 4, "wind": 3,
+                "tonal": 3},
+    )
+    eng = MelRainClassifier()
+    eng.setup({"sample_rate": FS})
+    out = eng.process_batch(clips)
+    got = np.asarray(out["clip_is_rain"])
+    assert (got == labels).all(), list(zip(kinds, np.asarray(
+        out["clip_score_db"]).round(1), labels))
+    # single-clip path agrees with the batch
+    one = eng.process(clips[0])
+    assert bool(one["clip_is_rain"]) == bool(got[0])
+    np.testing.assert_allclose(float(one["clip_score_db"]),
+                               float(out["clip_score_db"][0]), rtol=1e-6)
+
+
+def test_mel_processor_through_framework(tmp_path):
+    """BASELINE config #3 through the ORCHESTRATOR: MARK files on disk ->
+    batch loader -> MelRainProcessor (device-batch fast path) -> labeled
+    results frame."""
+    from audio_processing_tools_tpu.framework.batch import process_audio_batches_v2
+    from audio_processing_tools_tpu.models.mel_classifier import MelRainProcessor
+    from audio_processing_tools_tpu.utils.corpus import (
+        make_labeled_corpus,
+        write_corpus_dir,
+    )
+
+    clips, labels, kinds = make_labeled_corpus(
+        seed=29, fs=FS, seconds=2.0,
+        counts={"rain_heavy": 2, "rain_light": 2, "noise": 2, "wind": 2},
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    write_corpus_dir(str(d), clips, labels, kinds, fs=FS)
+
+    results, states = process_audio_batches_v2(
+        processors=[MelRainProcessor()],
+        params_global={"sample_rate": FS, "check_duration": 2.0},
+        InputType="LocalPath",
+        test_vector_path=str(d),
+        batch_save_dir=None,
+    )
+    assert "mel_rain__clip_is_rain" in results.columns
+    labeled = results.set_index("file_key")
+    for fk, row in labeled.iterrows():
+        expected = "true" in fk.lower()
+        assert bool(row["mel_rain__clip_is_rain"]) == expected, fk
+    # per-file path agrees with the device-batch path
+    r2, _ = process_audio_batches_v2(
+        processors=[MelRainProcessor()],
+        params_global={"sample_rate": FS, "check_duration": 2.0},
+        InputType="LocalPath", test_vector_path=str(d), batch_save_dir=None,
+        debug_params={"device_batch": False},
+    )
+    a = results.set_index("file_key")["mel_rain__clip_score_db"]
+    b = r2.set_index("file_key")["mel_rain__clip_score_db"]
+    np.testing.assert_allclose(a.values, b.loc[a.index].values, rtol=1e-6)
