@@ -16,6 +16,16 @@ Clip classes (label = raining?):
   * ``wind``         (False) — low-frequency gust bands + broadband bursts
   * ``tonal``        (False) — steady machine hum (strong tones, no pings)
 
+Near-threshold classes (the HARD tier — deliberately close to the default
+detector's decision boundary so the accuracy canary is NOT saturated and
+threshold drift in either direction moves the pinned confusion matrix):
+
+  * ``rain_faint``   (True)  — pings at ~miss-level SNR over sensor noise
+  * ``drizzle``      (True)  — 1-3 weak intermittent pings per clip
+  * ``rain_in_wind`` (True)  — light rain mixed into an active gust bed
+  * ``wind_gusty``   (False) — hard gust fronts with impulsive broadband
+                               onsets (the FP-bait class)
+
 All randomness flows from the caller's seed; the generator is pure.
 """
 
@@ -34,9 +44,12 @@ _PING_MODES: Tuple[Tuple[float, float], ...] = (
 )
 
 CLIP_CLASSES = ("rain_heavy", "rain_light", "noise", "wind", "tonal")
+HARD_CLIP_CLASSES = ("rain_faint", "drizzle", "rain_in_wind", "wind_gusty")
 CLASS_IS_RAIN = {
     "rain_heavy": True, "rain_light": True,
     "noise": False, "wind": False, "tonal": False,
+    "rain_faint": True, "drizzle": True, "rain_in_wind": True,
+    "wind_gusty": False,
 }
 
 
@@ -71,6 +84,35 @@ def synth_clip(kind: str, rng: np.random.Generator, *, fs: int = DEFAULT_FS,
         t = np.arange(n) / fs
         for f in (487.0, 974.0, 1461.0):
             x += 0.08 * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    elif kind == "rain_faint":
+        # pings barely above the sensor-noise floor: per-clip random
+        # amplitude spanning the default detector's miss level
+        amp = rng.uniform(0.03, 0.10)
+        for t0 in rng.integers(fs // 4, n - 1000, max(3, int(4 * seconds))):
+            x[t0 : t0 + 800] += amp * _ping(k, fs)
+    elif kind == "drizzle":
+        # 1-3 weak, widely-spaced drops in the whole clip
+        for t0 in rng.integers(fs // 4, n - 1000, int(rng.integers(1, 4))):
+            x[t0 : t0 + 800] += rng.uniform(0.08, 0.16) * _ping(k, fs)
+    elif kind == "rain_in_wind":
+        # light rain on top of an active gust bed (masked mode bands)
+        t = np.arange(n) / fs
+        envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.2, 0.5) * t))
+        rumble = np.cumsum(rng.standard_normal(n))
+        rumble = rumble - np.linspace(rumble[0], rumble[-1], n)
+        rumble /= max(np.abs(rumble).max(), 1e-9)
+        x = 0.12 * envelope * rumble + 0.03 * envelope * rng.standard_normal(n)
+        for t0 in rng.integers(fs // 4, n - 1000, max(2, int(3 * seconds))):
+            x[t0 : t0 + 800] += rng.uniform(0.10, 0.25) * _ping(k, fs)
+    elif kind == "wind_gusty":
+        # hard gust fronts: broadband bursts with fast onsets (FP bait for
+        # flux-based detectors); no resonant ping structure
+        t = np.arange(n) / fs
+        envelope = 0.4 * (1 + np.sin(2 * np.pi * rng.uniform(0.3, 0.7) * t))
+        x = 0.02 * rng.standard_normal(n) * (1 + envelope)
+        for t0 in rng.integers(fs // 4, n - 1200, max(3, int(3 * seconds))):
+            burst = rng.standard_normal(1000) * np.exp(-np.arange(1000) / 300.0)
+            x[t0 : t0 + 1000] += rng.uniform(0.10, 0.22) * burst
     else:
         raise ValueError(f"unknown clip class: {kind!r}")
     return np.clip(x, -1.0, 1.0).astype(np.float32)
@@ -86,12 +128,26 @@ def make_labeled_corpus(
     }
     rng = np.random.default_rng(seed)
     clips, labels, kinds = [], [], []
-    for kind in CLIP_CLASSES:
+    for kind in CLIP_CLASSES + HARD_CLIP_CLASSES:
         for _ in range(counts.get(kind, 0)):
             clips.append(synth_clip(kind, rng, fs=fs, seconds=seconds))
             labels.append(CLASS_IS_RAIN[kind])
             kinds.append(kind)
     return np.stack(clips), np.asarray(labels, bool), kinds
+
+
+def make_hard_corpus(
+    seed: int = 17, *, fs: int = DEFAULT_FS, seconds: float = 2.0,
+    per_class: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Near-threshold corpus (HARD tier only): faint rain at miss-level SNR,
+    intermittent drizzle, rain masked by wind, and gust-front FP bait.
+
+    Sized so the default detector lands strictly BELOW 100% accuracy — the
+    canary detects threshold drift in either direction (VERDICT r2 weak #3).
+    """
+    counts = {kind: per_class for kind in HARD_CLIP_CLASSES}
+    return make_labeled_corpus(seed, fs=fs, seconds=seconds, counts=counts)
 
 
 def write_corpus_dir(

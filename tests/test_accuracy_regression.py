@@ -97,3 +97,92 @@ def test_evaluation_csv_outputs(results, tmp_path):
     assert (tmp_path / "results_fn.csv").exists()
     assert (tmp_path / "test_results.csv").exists()
     assert stats["accuracy"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# HARD tier: near-threshold corpus (VERDICT r2: the easy corpus saturates at
+# 100%, so it can only catch regressions that flip an easy clip).  These
+# classes sit at the default config's decision boundary: the pinned confusion
+# is deliberately NOT perfect, so drift in either direction moves it.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hard_predictions():
+    from audio_processing_tools_tpu.models.spectral_noise import (
+        SpectralNoiseEngine,
+        clip_aggregate,
+    )
+    from audio_processing_tools_tpu.utils.corpus import make_hard_corpus
+
+    clips, labels, kinds = make_hard_corpus(seed=17, per_class=8)
+    eng = SpectralNoiseEngine()
+    eng.setup({
+        "sample_rate": FS,
+        "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+        "classifier_only_mode": True,
+    })
+    out = eng.process_batch(clips)
+    fc = np.asarray(out["frame_class"])
+    rc = np.asarray(out["rain_conf"])
+    pred = np.array([
+        bool(clip_aggregate(fc[i], rc[i], 3)["clip_is_rain"])
+        for i in range(len(kinds))
+    ])
+    return pred, labels, kinds, clips
+
+
+def test_hard_corpus_not_saturated(hard_predictions):
+    pred, labels, kinds, _ = hard_predictions
+    acc = float((pred == labels).mean())
+    assert 0.55 <= acc < 1.0, (
+        f"hard corpus must stay NEAR the boundary (got {acc}); if a detector "
+        "improvement legitimately moved it, re-pin test_hard_corpus_confusion"
+    )
+
+
+def test_hard_corpus_confusion_pinned(hard_predictions):
+    """Per-class correct counts for make_hard_corpus(seed=17, per_class=8)
+    under the default detector config.  A threshold drift in EITHER
+    direction changes these counts (misses move the rain_* rows, extra
+    sensitivity moves wind_gusty)."""
+    pred, labels, kinds, _ = hard_predictions
+    correct = {}
+    for kind in sorted(set(kinds)):
+        idx = [i for i, k in enumerate(kinds) if k == kind]
+        correct[kind] = int((pred[idx] == labels[idx]).sum())
+    assert correct == {
+        "rain_faint": 7,
+        "drizzle": 6,
+        "rain_in_wind": 6,
+        "wind_gusty": 5,
+    }, correct
+
+
+def test_tuning_improves_detuned_config_on_hard_corpus(hard_predictions):
+    """grid_search_vmapped provably improves a detuned config on the hard
+    corpus (SURVEY §4 corpus harness; reference
+    dsp_rain_detection.py:3248-3282 + grid_search.py)."""
+    from audio_processing_tools_tpu.tuning.grid_search import grid_search_vmapped
+
+    _, labels, kinds, clips = hard_predictions
+
+    grid = {
+        "new_rain_primary_flux_min": [1.0, 1.4, 1.8, 2.6, 4.0],
+        "clip_rain_min_frames": [1, 3],
+    }
+    results = grid_search_vmapped(
+        clips, labels, grid, base_params={"sample_rate": FS},
+    )
+    by_combo = {
+        (r["parameters"]["new_rain_primary_flux_min"],
+         r["parameters"]["clip_rain_min_frames"]): r["overall_accuracy"]
+        for r in results
+    }
+    detuned = by_combo[(4.0, 3)]   # way too high: misses near-threshold rain
+    best = max(by_combo.values())
+    assert detuned < 0.7, detuned
+    assert best >= detuned + 0.15, (
+        f"tuning must find a clearly better combo: best={best}, "
+        f"detuned={detuned}, grid={by_combo}"
+    )
