@@ -14,9 +14,12 @@ computation onto the device as pure tensor math (SURVEY §7.5's plan):
 
 The frame->minute / frame->slot schedules are the emulator's timestamp
 arithmetic evaluated at trace time (static), so outputs match the scalar
-emulator for the always-raining case (duty-cycled skipping stays host-side;
-it is data-dependent control flow across minutes). Parity is asserted in
-``tests/test_dsd_transform.py``.
+emulator for the always-raining case.  Duty cycling (the firmware's default
+operating mode) is data-dependent control flow across minutes:
+:func:`dsd_minutes_device_duty_cycled` keeps it on device by computing both
+candidate vectors per minute (full window and 3-s check window) in one
+batched program and resolving the tiny raining chain on the host.  Parity is
+asserted in ``tests/test_dsd_transform.py``.
 """
 
 from __future__ import annotations
@@ -131,6 +134,119 @@ def _dsd_minute(frames: jnp.ndarray, *, fs: int, frame_length: int,
         upper = j[emu.hwin_start_idx : emu.hwin_start_idx + half]
 
     return jnp.concatenate([loudness, pft_vals, lower, upper])
+
+
+def dsd_minutes_device_duty_cycled(
+    audio, fs: int = 11162, frame_length: int = 512, ts: float = 0.0
+):
+    """Duty-cycled per-minute DSD vectors with the frame math on device.
+
+    The firmware's default operating mode (reference
+    ``device_dsd_processing_emulator.py:256-314``): minute ``m`` processes
+    its full frames when minute ``m-1`` saw rain, else skips to the last-3 s
+    rain-check window; ``raining`` is re-decided from the emitted loudness
+    bins.  The chain is data-dependent across minutes — and the frame
+    *alignment* is too: the check loop has no ``t < hop/fs`` boundary push,
+    so a non-raining minute consumes one boundary-straddling frame that a
+    raining minute would defer, shifting every subsequent minute's schedule.
+    A fixed per-minute precompute therefore cannot be bit-faithful; instead
+    this walks the emulator's exact control flow on the host while every
+    processed segment (full minute or 66-frame check window) runs as one
+    jitted device program (``_dsd_minute``).  Segment shapes repeat
+    (1307/1308-frame minutes, 65/66-frame checks), so the jit cache holds a
+    handful of compiles regardless of recording length.
+
+    Returns the emulator's output: a list of 100-bin vectors for (n,) input,
+    or a list of such lists for (B, n).
+    """
+    x = jnp.asarray(audio, jnp.float32)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    n = int(x.shape[-1])
+    outs = []
+
+    emu0 = DsdProcessingEmulator(fs, frame_length, frame_length, False, 0)
+    hop = frame_length
+    period = float(emu0.rain_chk_period_seconds)
+    duration = float(emu0.rain_chk_duration_seconds)
+    L = emu0.loudness_bins
+
+    def segment_vec(row, f0: int, f1: int, fc0: int, ts0: float) -> np.ndarray:
+        """Frames [f0, f1) of this recording; the emulator's per-frame slot
+        uses the GLOBAL timestamp ``ts0 + (fc0 + i) * hop / fs``."""
+        frame_ts = ts0 + (fc0 + np.arange(f1 - f0)) * hop / fs
+        slots = ((frame_ts % period) / 2.0).astype(np.int64)
+        frames = x[row, f0 * hop : f1 * hop].reshape(f1 - f0, hop)
+        return np.asarray(_dsd_minute(
+            frames, fs=fs, frame_length=frame_length,
+            slots_tuple=tuple(int(s) for s in slots),
+        ))
+
+    for b in range(x.shape[0]):
+        vectors = []
+        # emulator state for ts-aligned recordings (set_audio_timestamp)
+        ts_start = ts - (ts % period)
+        ts_cur = float(ts)
+        fc = int((ts % period) * fs / hop)
+        f_pos = 0  # frames consumed from THIS recording
+        raining = True
+        num_minutes = math.ceil(n / (fs * period))
+        if n < frame_length:
+            outs.append(vectors)
+            continue
+        ok = True
+        for _ in range(int(num_minutes)):
+            remaining = (n - f_pos * hop) // hop
+            if raining:
+                t_next = period - (ts_cur % period)
+                if t_next < hop / fs:
+                    t_next += period
+                seg = min(int(t_next * fs / hop), remaining)
+                if (n - f_pos * hop) < frame_length:
+                    seg = 0
+                vec = (segment_vec(b, f_pos, f_pos + seg, fc, ts_start)
+                       if seg > 0 else np.zeros(100))
+                f_pos += seg
+                fc += seg
+                ts_cur = ts_start + fc * hop / fs
+            else:
+                t_next = period - (ts_cur % period)
+                if t_next < hop / fs:
+                    t_next += period
+                rct = ts_cur + t_next - duration
+                # skip to the rain-check window
+                while ts_cur < rct:
+                    f_pos += 1
+                    fc += 1
+                    ts_cur = ts_start + fc * hop / fs
+                    if (n - f_pos * hop) < frame_length:
+                        ok = False
+                        break
+                if not ok:
+                    break
+                f0 = f_pos
+                while ts_cur < rct + duration:
+                    if (n - f_pos * hop) >= frame_length:
+                        f_pos += 1
+                        fc += 1
+                        ts_cur = ts_start + fc * hop / fs
+                    else:
+                        ok = False
+                        break
+                if not ok:
+                    break
+                vec = segment_vec(b, f0, f_pos, fc - (f_pos - f0),
+                                  ts_start).copy()
+                # the emulator's check path never calls
+                # calculate_fft_energies: the 38 fft-window bins stay zero
+                vec[L + emu0.pft_bins :] = 0.0
+            vectors.append(vec)
+            raining = bool(np.any(vec[:L] != 0))
+            if (n - f_pos * hop) < frame_length:
+                break
+        outs.append(vectors)
+    return outs[0] if squeeze else outs
 
 
 def dsd_minutes_device(audio, fs: int = 11162, frame_length: int = 512
