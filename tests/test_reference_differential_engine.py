@@ -1,0 +1,280 @@
+"""Differential tests executing the reference's FLAGSHIP ENGINE and legacy
+RoE pipeline as oracles.
+
+``edge/rain_signal_processor.py`` (the STFT detector + noise suppressor)
+and ``edge/dsp_rain_detection.py`` (the 3,284-line RoE notebook) need
+librosa only for ``stft`` / ``istft`` / ``fft_frequencies`` /
+``frames_to_time`` / ``amplitude_to_db``; ``tests/ref_shims.py`` provides a
+faithful NumPy implementation of exactly those (librosa>=0.10 semantics),
+self-checked below, so the reference's OWN detector, gain, suppressor, and
+harmonic-novelty logic — every line of it — executes here against the JAX
+engines.
+
+Skipped automatically when /root/reference is not mounted.
+"""
+
+import sys
+from dataclasses import fields as dc_fields
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_ROOT = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REF_ROOT.is_dir(), reason="reference repo not mounted"
+)
+if REF_ROOT.is_dir():
+    if str(REF_ROOT) not in sys.path:
+        sys.path.insert(0, str(REF_ROOT))
+    from tests import ref_shims  # noqa: F401  (importing installs the shims)
+
+ref_rsp = pytest.importorskip("audio_processing_tools.edge.rain_signal_processor")
+ref_dsp = pytest.importorskip("audio_processing_tools.edge.dsp_rain_detection")
+
+from audio_processing_tools_tpu.config import (  # noqa: E402
+    DEFAULT_MODE_BANDS,
+    build_noise_config,
+)
+from audio_processing_tools_tpu.models.roe import (  # noqa: E402
+    rain_detection_algo,
+)
+from audio_processing_tools_tpu.models.spectral_noise import (  # noqa: E402
+    SpectralNoiseEngine,
+)
+from audio_processing_tools_tpu.utils.corpus import synth_clip  # noqa: E402
+
+FS = 11162
+DET = {"mode_bands": tuple(tuple(b) for b in DEFAULT_MODE_BANDS)}
+
+
+@pytest.fixture(scope="module", params=["rain_heavy", "noise", "wind"])
+def clip(request):
+    rng = np.random.default_rng({"rain_heavy": 5, "noise": 6, "wind": 7}[
+        request.param
+    ])
+    return synth_clip(request.param, rng, fs=FS, seconds=2.0)
+
+
+# ---------------------------------------------------------------------------
+# the shim itself must be trustworthy before anything downstream is
+# ---------------------------------------------------------------------------
+
+def test_librosa_shim_selfchecks(rng):
+    from tests.oracles import istft_librosa, stft_librosa
+    from tests.ref_shims import (
+        shim_amplitude_to_db,
+        shim_fft_frequencies,
+        shim_frames_to_time,
+        shim_istft,
+        shim_stft,
+    )
+
+    x = (0.1 * rng.standard_normal(4096)).astype(np.float32)
+    S = shim_stft(x, n_fft=256, hop_length=128, win_length=256,
+                  window="hann", center=True)
+    # agrees with this suite's independently-written float64 oracle
+    S2 = stft_librosa(x, n_fft=256, hop=128, center=True)
+    np.testing.assert_allclose(S.astype(np.complex128), S2, atol=1e-6)
+    # perfect reconstruction through istft (hann COLA at 50% overlap)
+    y = shim_istft(S.astype(np.complex128), hop_length=128, win_length=256,
+                   window="hann", center=True, length=len(x))
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    y2 = istft_librosa(S2, n_fft=256, hop=128, length=len(x))
+    np.testing.assert_allclose(y, y2, atol=1e-6)
+
+    np.testing.assert_allclose(
+        shim_fft_frequencies(sr=FS, n_fft=256),
+        np.linspace(0, FS / 2, 129), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        shim_frames_to_time(np.arange(5), sr=FS, hop_length=128),
+        np.arange(5) * 128 / FS,
+    )
+    # amplitude_to_db: 20log10 magnitude w/ ref=max and 80 dB floor
+    a = np.array([1.0, 0.1, 1e-9])
+    db = shim_amplitude_to_db(a, ref=np.max)
+    np.testing.assert_allclose(db[:2], [0.0, -20.0], atol=1e-9)
+    assert db[2] == pytest.approx(-80.0)
+
+
+# ---------------------------------------------------------------------------
+# config builder precedence (rain_signal_processor.py:202-255)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("params", [
+    {"detector": dict(DET)},
+    {"detector": dict(DET), "n_fft": 512, "hop": 256, "q": 0.4},
+    {"detector": dict(DET), "fmin": 300, "fmax": 3000},          # legacy band
+    {"detector": dict(DET), "operating_band": (500, 2800), "fmin": 300},
+    {"detector": dict(DET),
+     "suppressor": {"gain_floor": 0.2, "oversub_base": 1.5},
+     "gain_floor": 0.3},                                         # flat > nested
+])
+def test_build_noise_config_matches_reference(params):
+    ref_cfg = ref_rsp.build_noise_config(FS, dict(params))
+    got_cfg = build_noise_config(FS, dict(params))
+    shared = {f.name for f in dc_fields(ref_cfg)} & set(
+        got_cfg.__dataclass_fields__
+    )
+    assert len(shared) > 20, "config field overlap unexpectedly small"
+    for name in sorted(shared):
+        ref_v = getattr(ref_cfg, name)
+        got_v = getattr(got_cfg, name)
+        if isinstance(ref_v, tuple) or isinstance(got_v, tuple):
+            assert tuple(got_v) == tuple(ref_v), name
+        elif isinstance(ref_v, dict):
+            continue  # nested dicts compared via behavior below
+        else:
+            assert got_v == ref_v, (
+                f"config field {name!r}: got {got_v!r}, reference {ref_v!r}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# the flagship engine, classifier path
+# ---------------------------------------------------------------------------
+
+def _ref_engine(extra=None):
+    params = {"detector": dict(DET), "classifier_only_mode": True,
+              "return_detector_debug": True, **(extra or {})}
+    cfg = ref_rsp.build_noise_config(FS, params)
+    return ref_rsp.SpectralNoiseProcessor(cfg)
+
+
+def _got_engine(extra=None):
+    eng = SpectralNoiseEngine()
+    eng.setup({"sample_rate": FS, "detector": dict(DET),
+               "classifier_only_mode": True, "return_detector_debug": True,
+               **(extra or {})})
+    return eng
+
+
+def test_spectral_engine_classifier_matches_reference(clip):
+    ref_out = _ref_engine().process(clip, FS)
+    got_out = _got_engine().process(clip)
+
+    ref_fc = np.asarray(ref_out["frame_class"], np.int32)
+    got_fc = np.asarray(got_out["frame_class"], np.int32)
+    assert got_fc.shape == ref_fc.shape
+    np.testing.assert_allclose(np.asarray(got_out["times"]),
+                               np.asarray(ref_out["times"]), atol=1e-6)
+
+    agree = float((got_fc == ref_fc).mean())
+    assert agree >= 0.98, (
+        f"frame_class agreement {agree:.3f} vs the real reference engine"
+    )
+    for key in ("rain_conf", "noise_conf"):
+        ref_v = np.asarray(ref_out[key], np.float64)
+        got_v = np.asarray(got_out[key], np.float64)
+        np.testing.assert_allclose(
+            got_v, ref_v, rtol=5e-3, atol=5e-3,
+            err_msg=f"{key} diverges from the reference engine",
+        )
+    # detector debug flux features drive the decision — they must agree
+    # tightly, not just the quantized labels
+    for key in ("primary_mode_flux", "mode_flux_score"):
+        ref_v = np.asarray(ref_out["det_debug"][key], np.float64)
+        got_v = np.asarray(got_out["det_debug"][key], np.float64)
+        scale = float(np.abs(ref_v).max()) + 1e-9
+        np.testing.assert_allclose(
+            got_v, ref_v, rtol=2e-3, atol=2e-3 * scale,
+            err_msg=f"det_debug[{key!r}] diverges from the reference engine",
+        )
+
+
+def test_spectral_engine_suppressor_matches_reference(clip):
+    extra = {"classifier_only_mode": False, "compute_output_audio": True,
+             "return_spectra": True, "return_filtered_audio": True,
+             "return_noise_psd": True}
+    ref_out = _ref_engine(extra).process(clip, FS)
+    got_out = _got_engine(extra).process(clip)
+
+    ref_S = np.asarray(ref_out["S"])
+    got_S = np.asarray(got_out["S"])
+    scale_S = float(np.abs(ref_S).max()) + 1e-12
+    np.testing.assert_allclose(got_S, ref_S, atol=2e-4 * scale_S,
+                               err_msg="input spectrogram differs")
+
+    ref_Sh = np.abs(np.asarray(ref_out["S_hat"]))
+    got_Sh = np.abs(np.asarray(got_out["S_hat"]))
+    np.testing.assert_allclose(
+        got_Sh, ref_Sh, atol=2e-2 * scale_S,
+        err_msg="suppressed spectrogram diverges from the reference engine",
+    )
+    # suppression depth agrees: per-frame band energy ratio out/in
+    Pin = (np.abs(ref_S) ** 2).sum(0) + 1e-12
+    r_ref = (ref_Sh ** 2).sum(0) / Pin
+    r_got = (got_Sh ** 2).sum(0) / Pin
+    np.testing.assert_allclose(r_got, r_ref, atol=5e-2)
+
+    ref_y = np.asarray(ref_out["y"], np.float64)
+    got_y = np.asarray(got_out["y"], np.float64)
+    assert got_y.shape == ref_y.shape
+    scale_y = float(np.abs(ref_y).max()) + 1e-12
+    np.testing.assert_allclose(
+        got_y, ref_y, atol=5e-2 * scale_y,
+        err_msg="output audio diverges from the reference engine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# legacy RoE pipeline (dsp_rain_detection.py:2566-2575 entry)
+# ---------------------------------------------------------------------------
+
+def _roe_clip(kind, seed, n_drops):
+    """RoE-shaped fixture: harmonic pings at the natural frequency."""
+    rng = np.random.default_rng(seed)
+    n = FS * 10
+    x = 0.004 * rng.standard_normal(n)
+    if kind == "rain":
+        k = np.arange(800)
+        ping = np.exp(-k / 60.0) * sum(
+            a * np.sin(2 * np.pi * f * k / FS)
+            for f, a in [(520, 1.0), (1040, 0.5), (1560, 0.35), (2080, 0.25)]
+        )
+        for t0 in rng.integers(FS // 2, n - 1000, n_drops):
+            x[t0 : t0 + 800] += 0.6 * ping
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+@pytest.mark.parametrize("kind,seed,n_drops", [
+    ("rain", 31, 40),
+    ("none", 32, 0),
+])
+def test_roe_matches_reference(kind, seed, n_drops):
+    x = _roe_clip(kind, seed, n_drops)
+    # the reference entry requires the full parameter dict (its own
+    # default_params, dsp_rain_detection.py:1097-1124) — pass it to BOTH
+    params = dict(ref_dsp.default_params)
+    ref_drops, ref_fmean, ref_state = ref_dsp.rain_detection_algo(x, **params)
+    got_drops, got_fmean, got_state = rain_detection_algo(x, **params)
+
+    if kind == "none":
+        assert ref_drops == 0, "reference found rain in pure noise?"
+        assert got_drops == 0
+    else:
+        assert ref_drops > 0, "reference found no rain in the rain fixture"
+        assert got_drops > 0
+        # drop counts within 25% of the reference's own count
+        assert abs(got_drops - ref_drops) <= max(3, 0.25 * ref_drops), (
+            f"drops: got {got_drops}, reference {ref_drops}"
+        )
+        # natural-frequency estimate within one bin (~44 Hz)
+        assert abs(got_fmean - ref_fmean) <= 45.0, (
+            f"frain_mean: got {got_fmean}, reference {ref_fmean}"
+        )
+
+
+def test_roe_boolean_wrapper_matches_reference():
+    x_rain = _roe_clip("rain", 41, 40)
+    x_none = _roe_clip("none", 42, 0)
+    from audio_processing_tools_tpu.models.roe import (
+        python_classifier_boolean_wrapper,
+    )
+
+    params = dict(ref_dsp.default_params)
+    assert bool(ref_dsp.python_classifier_boolean_wrapper(x_rain, **params)) is True
+    assert bool(python_classifier_boolean_wrapper(x_rain, **params)) is True
+    assert bool(ref_dsp.python_classifier_boolean_wrapper(x_none, **params)) is False
+    assert bool(python_classifier_boolean_wrapper(x_none, **params)) is False

@@ -18,11 +18,7 @@ imported at module top but unused on the exercised paths):
 Skipped automatically when /root/reference is not mounted.
 """
 
-import io as _io
-import json
-import struct
 import sys
-import types
 from pathlib import Path
 
 import numpy as np
@@ -37,85 +33,9 @@ if REF_ROOT.is_dir() and str(REF_ROOT) not in sys.path:
     sys.path.insert(0, str(REF_ROOT))
 
 
-# ---------------------------------------------------------------------------
-# import-time stubs (ONLY for deps the exercised code paths never call)
-# ---------------------------------------------------------------------------
-
-def _module(name, **attrs):
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(name, mod)
-    return sys.modules[name]
-
-
-def _unused(*_a, **_k):
-    raise NotImplementedError("stubbed dependency was called by the test path")
-
-
+# import-time stubs + faithful mini-shims (kaitai stream, numpy librosa)
 if REF_ROOT.is_dir():
-    # kaitaistruct: a REAL minimal byte-stream so parse.py's actual header
-    # parser executes (reference parse.py:19-54 uses exactly these methods)
-    if "kaitaistruct" not in sys.modules:
-        class _ValidationNotEqualError(Exception):
-            def __init__(self, expected=None, actual=None, io=None,
-                         src_path=None):
-                super().__init__(f"expected {expected!r}, got {actual!r}")
-
-        class _Stream:
-            def __init__(self, data: bytes):
-                self._b = bytes(data)
-                self._p = 0
-
-            def read_bytes(self, n):
-                r = self._b[self._p : self._p + n]
-                self._p += n
-                return r
-
-            def read_bytes_full(self):
-                r = self._b[self._p :]
-                self._p = len(self._b)
-                return r
-
-            def read_u4le(self):
-                return struct.unpack("<I", self.read_bytes(4))[0]
-
-            def read_u1(self):
-                return self.read_bytes(1)[0]
-
-            def read_f4le(self):
-                return struct.unpack("<f", self.read_bytes(4))[0]
-
-        class _KaitaiStruct:
-            def __init__(self, _io_):
-                self._io = _io_
-
-            @classmethod
-            def from_bytes(cls, data):
-                return cls(_Stream(data))
-
-        _module("kaitaistruct", KaitaiStruct=_KaitaiStruct,
-                ValidationNotEqualError=_ValidationNotEqualError,
-                KaitaiStream=_Stream)
-
-    _module("librosa", load=_unused, resample=_unused)
-    _b3 = _module("boto3", Session=_unused, client=_unused)
-    _module("boto3.session", Session=_unused)
-    _b3.session = sys.modules["boto3.session"]
-    _botocore = _module("botocore")
-    _module("botocore.exceptions",
-            NoCredentialsError=type("NoCredentialsError", (Exception,), {}),
-            ProfileNotFound=type("ProfileNotFound", (Exception,), {}))
-    _botocore.exceptions = sys.modules["botocore.exceptions"]
-    _sa = _module("sqlalchemy", text=lambda s: s)
-    _module("sqlalchemy.dialects", postgresql=None)
-    _module("sqlalchemy.dialects.postgresql", JSONB=object)
-    _sa.dialects = sys.modules["sqlalchemy.dialects"]
-    sys.modules["sqlalchemy.dialects"].postgresql = sys.modules[
-        "sqlalchemy.dialects.postgresql"
-    ]
-    _module("sqlalchemy.engine", Engine=object)
-    _sa.engine = sys.modules["sqlalchemy.engine"]
+    from tests import ref_shims  # noqa: F401  (importing installs everything)
 
 ref_parse = pytest.importorskip("audio_processing_tools.parse")
 ref_alac = pytest.importorskip("audio_processing_tools.alac_utils")
