@@ -683,7 +683,7 @@ class BandNoiseEstimatorProcessor:
     medians + detector fractions + final telemetry.
     """
 
-    def __init__(self, name: str = "band_noise", mode: str = "band_noise"):
+    def __init__(self, name: str = "band_noise", mode: str = "fft"):
         self.name = name
         self.mode = mode  # kept for backward compatibility with result rows
 

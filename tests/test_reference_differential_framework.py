@@ -435,3 +435,230 @@ def test_param_updates_chain_matches_reference():
     assert (ref_res["consumer__saw_injected"] == 42).all()
     assert (got_res["consumer__saw_injected"] == 42).all()
     assert set(got_res.columns) == set(ref_res.columns)
+
+
+# ---------------------------------------------------------------------------
+# fetch.py on a shared fake boto session (fetch.py:52-170)
+# ---------------------------------------------------------------------------
+
+def test_fetch_matches_reference(tmp_path):
+    from tests.test_fetch import FakeSession
+
+    import audio_processing_tools_tpu.io.fetch as got_fetch
+    ref_fetch = pytest.importorskip("audio_processing_tools.fetch")
+
+    store = {"bkt": {"audio/DEV1/f/1700000000": b"\xAD\xFB\xCA\xDE" + b"X" * 96}}
+    key = "audio/DEV1/f/1700000000"
+
+    ref_s, got_s = FakeSession(store), FakeSession(store)
+    ref_b = ref_fetch.fetch_raw_audio_from_s3(key, "bkt", boto_session=ref_s)
+    got_b = got_fetch.fetch_raw_audio_from_s3(key, "bkt", boto_session=got_s)
+    assert got_b == ref_b
+
+    # header-only fetch must issue the same Range request
+    ref_h = ref_fetch.fetch_raw_audio_from_s3(key, "bkt", boto_session=ref_s,
+                                              header_only=True)
+    got_h = got_fetch.fetch_raw_audio_from_s3(key, "bkt", boto_session=got_s,
+                                              header_only=True)
+    assert got_h == ref_h
+    assert got_s.calls[-1]["range"] == ref_s.calls[-1]["range"] is not None
+
+    ref_l = ref_fetch.list_audio_keys("audio/DEV1", "bkt", boto_session=ref_s)
+    got_l = got_fetch.list_audio_keys("audio/DEV1", "bkt", boto_session=got_s)
+    assert list(got_l) == list(ref_l)
+
+    # cached fetch: same bytes, second call served without a new GET
+    ref_cache = tmp_path / "ref_cache"
+    got_cache = tmp_path / "got_cache"
+    kw = dict(bucket="bkt", redownload=False, use_caching=True)
+    r1 = ref_fetch.get_raw_audio_data(key, boto_session=ref_s,
+                                      local_cache_location=str(ref_cache), **kw)
+    g1 = got_fetch.get_raw_audio_data(key, boto_session=got_s,
+                                      local_cache_location=str(got_cache), **kw)
+    n_ref, n_got = len(ref_s.calls), len(got_s.calls)
+    r2 = ref_fetch.get_raw_audio_data(key, boto_session=ref_s,
+                                      local_cache_location=str(ref_cache), **kw)
+    g2 = got_fetch.get_raw_audio_data(key, boto_session=got_s,
+                                      local_cache_location=str(got_cache), **kw)
+    assert r1 == r2 == g1 == g2
+    assert len(ref_s.calls) == n_ref and len(got_s.calls) == n_got
+
+
+# ---------------------------------------------------------------------------
+# audio_io normalization + local key discovery (audio_io.py:34-225)
+# ---------------------------------------------------------------------------
+
+def test_audio_io_normalization_matches_reference(rng):
+    ref_io = pytest.importorskip("audio_processing_tools.audio_io")
+    from audio_processing_tools_tpu.io.audio import (
+        ensure_mono_len_sr,
+        safe_to_float,
+    )
+
+    pcm = rng.integers(-32768, 32768, 2048, dtype=np.int16)
+    np.testing.assert_array_equal(
+        safe_to_float(pcm), ref_io.safe_to_float(pcm))
+    np.testing.assert_array_equal(
+        safe_to_float(pcm.tobytes()), ref_io.safe_to_float(pcm.tobytes()))
+    f32 = (0.3 * rng.standard_normal(512)).astype(np.float32)
+    np.testing.assert_array_equal(
+        safe_to_float(f32), ref_io.safe_to_float(f32))
+
+    # stereo -> mono + trim (same sr: the librosa resample path stays cold)
+    y = rng.standard_normal((2, FS * 2)).astype(np.float32)
+    ref_y = ref_io.ensure_mono_len_sr(y, FS, FS, 1.0)
+    got_y = ensure_mono_len_sr(y, FS, FS, 1.0)
+    np.testing.assert_allclose(got_y, ref_y, atol=1e-7)
+    # too-short input behaves identically
+    short = np.zeros(100, np.float32)
+    assert (ensure_mono_len_sr(short, FS, FS, 1.0) is None) == \
+        (ref_io.ensure_mono_len_sr(short, FS, FS, 1.0) is None)
+
+
+def test_local_file_list_matches_reference(tmp_path, rng):
+    ref_io = pytest.importorskip("audio_processing_tools.audio_io")
+    from audio_processing_tools_tpu.io.audio import get_local_file_list
+
+    d = tmp_path / "vecs"
+    d.mkdir()
+    for name in ("a_True.bin", "b_False.bin", "c_true.wav", "nolabel.bin"):
+        (d / name).write_bytes(b"\x00" * 64)
+    ref_keys = ref_io.get_local_file_list(
+        d, file_path=str(tmp_path / "ref.csv"), localStatus=True)
+    got_keys = get_local_file_list(
+        d, file_path=str(tmp_path / "got.csv"), localStatus=True)
+    norm = lambda rows: sorted(
+        (Path(r["source_file"]).name, bool(r["raining"])) for r in rows
+    )
+    assert norm(got_keys) == norm(ref_keys)
+
+
+# ---------------------------------------------------------------------------
+# NoiseProcessor + RainDetectorProcessor + BandNoiseEstimatorProcessor
+# (noise_processor.py:15-129, rain_signal_processor.py:1205-1344,
+#  edge/band_noise_processor.py:14-280)
+# ---------------------------------------------------------------------------
+
+def _rain_clip2(seed=77, seconds=2.0):
+    rng = np.random.default_rng(seed)
+    n = int(FS * seconds)
+    x = 0.005 * rng.standard_normal(n)
+    k = np.arange(800)
+    ping = np.exp(-k / 60.0) * sum(
+        a * np.sin(2 * np.pi * f * k / FS)
+        for f, a in [(520, 1.0), (900, 0.5), (1600, 0.35), (2450, 0.25)]
+    )
+    for t0 in rng.integers(FS // 4, n - 1000, 20):
+        x[t0 : t0 + 800] += 0.5 * ping
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def _mode_bands():
+    from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+    return [list(b) for b in DEFAULT_MODE_BANDS]
+
+
+def test_noise_processor_reference_is_broken_and_ours_fixes_it():
+    """The reference NoiseProcessor cannot run against its own engine: it
+    reads out["is_rain"] / out["x_hp"], keys SpectralNoiseProcessor never
+    returns at the top level (noise_processor.py:96-105 vs
+    rain_signal_processor.py:1175-1198 — they live inside `features`).
+    SURVEY flagged this as a defect to fix, not replicate: pin the
+    reference's failure and our adapter's working metrics."""
+    ref_np_mod = pytest.importorskip("audio_processing_tools.noise_processor")
+    from audio_processing_tools_tpu.framework.processor import NoiseProcessor
+
+    x = _rain_clip2()
+    params = {"sample_rate": FS, "check_duration": 1.0,
+              "detector": {"mode_bands": _mode_bands()},
+              "compute_output_audio": True, "return_spectra": True,
+              "return_noise_psd": True, "return_filtered_audio": True}
+    with pytest.raises(KeyError):
+        ref_np_mod.NoiseProcessor(name="noise").run(x, params)
+    got_m, got_s = NoiseProcessor(name="noise").run(x, params)
+    assert np.isfinite(float(got_m["mean_noise_floor_db"]))
+    assert 0.0 <= float(got_m["rain_frame_fraction"]) <= 1.0
+    assert "is_rain" in got_s and "noise_psd" in got_s  # the fixed payload
+
+
+def test_rain_detector_processor_clip_aggregation_matches_reference():
+    from audio_processing_tools_tpu.models.spectral_noise import (
+        RainDetectorProcessor,
+    )
+
+    x = _rain_clip2()
+    params = {"sample_rate": FS, "check_duration": 1.0,
+              "detector": {"mode_bands": _mode_bands()},
+              "clip_rain_min_frames": 3}
+    ref_m, ref_s = ref_rsp_proc().run(x, params)
+    got_m, got_s = RainDetectorProcessor(name="rain_detector").run(x, params)
+    shared = (set(ref_m) & set(got_m)) - {"latency_s"}
+    assert {"clip_is_rain", "rain_frame_count"} <= shared
+    assert bool(got_m["clip_is_rain"]) == bool(ref_m["clip_is_rain"])
+    assert abs(int(got_m["rain_frame_count"]) - int(ref_m["rain_frame_count"])) <= 2
+    for key in sorted(shared - {"clip_is_rain", "rain_frame_count"}):
+        np.testing.assert_allclose(
+            float(got_m[key]), float(ref_m[key]), rtol=5e-3, atol=5e-3,
+            err_msg=f"clip metric {key!r} diverges from reference",
+        )
+
+
+def ref_rsp_proc():
+    ref_rsp = pytest.importorskip(
+        "audio_processing_tools.edge.rain_signal_processor")
+    return ref_rsp.RainDetectorProcessor(name="rain_detector")
+
+
+def test_band_noise_processor_matches_reference():
+    ref_bnp = pytest.importorskip(
+        "audio_processing_tools.edge.band_noise_processor")
+    from audio_processing_tools_tpu.models.band_noise import (
+        BandNoiseEstimatorProcessor,
+    )
+
+    x = _rain_clip2(seed=88)
+    params = {"sample_rate": FS}
+    ref_m, ref_s = ref_bnp.BandNoiseEstimatorProcessor(name="bn").run(x, params)
+    got_m, got_s = BandNoiseEstimatorProcessor(name="bn").run(x, params)
+    shared = (set(ref_m) & set(got_m)) - {"latency_s"}
+    assert len(shared) >= 4, (set(ref_m), set(got_m))
+    for key in sorted(shared):
+        rv, gv = ref_m[key], got_m[key]
+        if isinstance(rv, str) or isinstance(gv, str):
+            assert str(gv) == str(rv), key
+        elif isinstance(rv, (bool, np.bool_)):
+            assert bool(gv) == bool(rv), key
+        else:
+            np.testing.assert_allclose(
+                float(gv), float(rv), rtol=1e-3, atol=1e-6,
+                err_msg=f"band-noise metric {key!r} diverges from reference",
+            )
+    # per-frame state arrays
+    for key in ("N_E", "G_mag", "M_clean"):
+        if key in ref_s and key in got_s:
+            np.testing.assert_allclose(
+                np.asarray(got_s[key], np.float64),
+                np.asarray(ref_s[key], np.float64),
+                rtol=5e-4, atol=1e-8,
+                err_msg=f"band-noise state {key!r} diverges from reference",
+            )
+
+
+# ---------------------------------------------------------------------------
+# dsp_integ two-pass confirm wrapper (dsp_integ.py:1309-1373)
+# ---------------------------------------------------------------------------
+
+def test_dsp_integ_two_pass_matches_reference():
+    ref_di = pytest.importorskip(
+        "audio_processing_tools.edge.parameter_tuning.dsp_integ")
+    from audio_processing_tools_tpu.tuning.dsp_integ import (
+        sample_classifier_to_evaluate,
+    )
+
+    x_rain = _rain_clip2(seed=91, seconds=6.0)
+    rng = np.random.default_rng(92)
+    x_none = (0.004 * rng.standard_normal(FS * 6)).astype(np.float32)
+    assert bool(ref_di.sample_classifier_to_evaluate(x_rain)) == \
+        bool(sample_classifier_to_evaluate(x_rain))
+    assert bool(ref_di.sample_classifier_to_evaluate(x_none)) == \
+        bool(sample_classifier_to_evaluate(x_none)) is False
