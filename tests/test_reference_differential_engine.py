@@ -278,3 +278,33 @@ def test_roe_boolean_wrapper_matches_reference():
     assert bool(python_classifier_boolean_wrapper(x_rain, **params)) is True
     assert bool(ref_dsp.python_classifier_boolean_wrapper(x_none, **params)) is False
     assert bool(python_classifier_boolean_wrapper(x_none, **params)) is False
+
+
+def test_native_cpp_agrees_with_reference_python_roe():
+    """Close the differential triangle: the C++ classifier
+    (native/roe_classifier.cpp, rebuilt from the closed dylib's ABI) vs the
+    reference's OWN Python RoE pipeline — the same cross-implementation
+    check the reference runs between its Python and C classifiers
+    (edge/parameter_tuning/classification_algo.py:18-63)."""
+    from audio_processing_tools_tpu.tuning.call_native import (
+        build_native_library,
+        load_native_library,
+        rain_detection_algo as native_algo,
+    )
+
+    try:
+        build_native_library()
+        lib = load_native_library()
+    except Exception as e:
+        pytest.skip(f"native library unavailable: {e}")
+
+    params = dict(ref_dsp.default_params)
+    for kind, seed, n_drops, expected in [
+        ("rain", 51, 40, True), ("none", 52, 0, False),
+    ]:
+        x = _roe_clip(kind, seed, n_drops)
+        ref_drops, _, _ = ref_dsp.rain_detection_algo(x, **params)
+        nat_drops, _ = native_algo(x, lib=lib, params=params)
+        assert (ref_drops > 0) == (nat_drops > 0) == expected, (
+            f"{kind}: reference python {ref_drops} vs native C++ {nat_drops}"
+        )
