@@ -150,9 +150,20 @@ def _got_engine(extra=None):
     return eng
 
 
-def test_spectral_engine_classifier_matches_reference(clip):
-    ref_out = _ref_engine().process(clip, FS)
-    got_out = _got_engine().process(clip)
+ENGINE_VARIANTS = {
+    "default": {},
+    "highpass": {"pre_filter_mode": "highpass"},
+    "bandpass": {"pre_filter_mode": "bandpass"},
+    "wiener": {"classifier_only_mode": False, "gain_mode": "wiener",
+               "compute_output_audio": True},
+}
+
+
+@pytest.mark.parametrize("variant", sorted(ENGINE_VARIANTS))
+def test_spectral_engine_classifier_matches_reference(clip, variant):
+    extra = ENGINE_VARIANTS[variant]
+    ref_out = _ref_engine(extra).process(clip, FS)
+    got_out = _got_engine(extra).process(clip)
 
     ref_fc = np.asarray(ref_out["frame_class"], np.int32)
     got_fc = np.asarray(got_out["frame_class"], np.int32)
@@ -160,9 +171,12 @@ def test_spectral_engine_classifier_matches_reference(clip):
     np.testing.assert_allclose(np.asarray(got_out["times"]),
                                np.asarray(ref_out["times"]), atol=1e-6)
 
-    agree = float((got_fc == ref_fc).mean())
-    assert agree >= 0.98, (
-        f"frame_class agreement {agree:.3f} vs the real reference engine"
+    # measured: EXACT agreement on every variant x clip class; a regression
+    # that flips any frame vs the real reference engine should fail loudly
+    # (if a legitimately borderline fixture appears, re-pin with a bound)
+    np.testing.assert_array_equal(
+        got_fc, ref_fc,
+        err_msg=f"frame_class diverges from the reference engine ({variant})",
     )
     for key in ("rain_conf", "noise_conf"):
         ref_v = np.asarray(ref_out[key], np.float64)
