@@ -322,3 +322,52 @@ def test_native_cpp_agrees_with_reference_python_roe():
         assert (ref_drops > 0) == (nat_drops > 0) == expected, (
             f"{kind}: reference python {ref_drops} vs native C++ {nat_drops}"
         )
+
+
+def test_detect_gusts_matches_reference(rng):
+    """Wind gust detection (dsp_rain_detection.py:171-211) on a shared
+    magnitude spectrogram."""
+    from audio_processing_tools_tpu.models.wind import detect_gusts
+
+    x = synth_clip("wind", rng, fs=FS, seconds=3.0)
+    from tests.ref_shims import shim_stft
+
+    mag = np.abs(shim_stft(x, n_fft=256, hop_length=128, win_length=256,
+                           window="hann", center=True)).astype(np.float64)
+    ref_times, ref_wraw, ref_rraw, ref_w, ref_r = ref_dsp.detect_gusts(
+        mag, FS)
+    got_times, got_wraw, got_rraw, got_w, got_r = detect_gusts(mag, FS)
+    np.testing.assert_allclose(np.asarray(got_wraw), ref_wraw,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_rraw), ref_rraw,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), ref_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_times), ref_times, atol=1e-9)
+
+
+def test_compute_rain_mod_matches_reference(rng):
+    from audio_processing_tools_tpu.models.wind import compute_rain_mod
+
+    T = 80
+    nov_rain = np.abs(rng.standard_normal(T))
+    nov_gust = np.abs(rng.standard_normal(T))
+    raining = (rng.random(T) < 0.4).astype(np.float64)
+    ref_mod = ref_dsp.compute_rain_mod(nov_rain, nov_gust, raining, 0.5)
+    got_mod = compute_rain_mod(nov_rain, nov_gust, raining, 0.5)
+    np.testing.assert_array_equal(np.asarray(got_mod), np.asarray(ref_mod))
+
+
+def test_eac_pitch_matches_reference(rng):
+    """Enhanced-autocorrelation pitch front-end
+    (dsp_rain_detection.py:287-363)."""
+    from audio_processing_tools_tpu.models.pitch import compute_eac_for_frames
+
+    t = np.arange(4 * 256) / FS
+    tone = 0.5 * np.sin(2 * np.pi * 520.0 * t) + 0.01 * rng.standard_normal(
+        t.size)
+    frames = tone.reshape(4, 256)
+    ref_eac = ref_dsp.compute_eac_for_frames(frames)
+    got_eac = np.asarray(compute_eac_for_frames(frames))
+    assert got_eac.shape == np.asarray(ref_eac).shape
+    scale = float(np.abs(ref_eac).max()) + 1e-12
+    np.testing.assert_allclose(got_eac, ref_eac, atol=5e-5 * scale)
