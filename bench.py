@@ -180,12 +180,22 @@ def main() -> None:
         # fetching the (small) output is what forces compute, so compute_ms
         # includes the tiny D2H of per-clip scalars
         compute_ms = best_of(lambda: np.asarray(step(d)["rain_frame_count"]))
+        # dispatch+fetch round trip for a trivial kernel on the same operand:
+        # on the tunneled dev host this floor is ~27 ms, so real engine
+        # compute is compute_ms - dispatch_floor_ms
+        triv = jax.jit(lambda v: jnp.sum(v, axis=-1))
+        np.asarray(triv(d).ravel()[0])
+        floor_ms = best_of(lambda: np.asarray(triv(d).ravel()[0]))
+        pure_ms = max(compute_ms - floor_ms, 1e-3)
         return {
             "decode_ms": round(decode_ms, 1),
             "h2d_ms": round(h2d_ms, 1),
             "compute_ms": round(compute_ms, 1),
+            "dispatch_floor_ms": round(floor_ms, 1),
             "device_audio_sec_per_sec": round(
                 B * args.clip_sec / (compute_ms / 1000.0), 1),
+            "device_compute_audio_sec_per_sec": round(
+                B * args.clip_sec / (pure_ms / 1000.0), 1),
         }
 
     if args.quick:
