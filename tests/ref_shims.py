@@ -214,6 +214,7 @@ def install() -> None:
         "botocore.exceptions",
         NoCredentialsError=type("NoCredentialsError", (Exception,), {}),
         ProfileNotFound=type("ProfileNotFound", (Exception,), {}),
+        ClientError=type("ClientError", (Exception,), {}),
     )
     sa = _module("sqlalchemy", text=lambda s: s)
     pg = _module("sqlalchemy.dialects.postgresql", JSONB=object)

@@ -662,3 +662,99 @@ def test_dsp_integ_two_pass_matches_reference():
         bool(sample_classifier_to_evaluate(x_rain))
     assert bool(ref_di.sample_classifier_to_evaluate(x_none)) == \
         bool(sample_classifier_to_evaluate(x_none)) is False
+
+
+# ---------------------------------------------------------------------------
+# transform.py pure functions + parse tabular helpers
+# ---------------------------------------------------------------------------
+
+def _import_ref_transform():
+    """transform.py imports the emulator by a path that does not exist in
+    the packaged layout (`edge.device_dsd_processing_emulator`,
+    transform.py:25 — SURVEY's documented reference defect). Alias the real
+    module so the rest of transform.py can execute."""
+    real = pytest.importorskip(
+        "audio_processing_tools.host_analysis.device_dsd_processing_emulator"
+    )
+    sys.modules.setdefault(
+        "audio_processing_tools.edge.device_dsd_processing_emulator", real
+    )
+    return pytest.importorskip("audio_processing_tools.transform")
+
+
+def test_reference_transform_import_is_broken():
+    """Pin the defect itself: the reference's import path fails unless the
+    alias workaround is applied (this framework fixes the path for real)."""
+    import importlib
+
+    assert not (REF_ROOT / "audio_processing_tools" / "edge" /
+                "device_dsd_processing_emulator.py").exists()
+    if "audio_processing_tools.edge.device_dsd_processing_emulator" \
+            not in sys.modules:
+        with pytest.raises(ModuleNotFoundError):
+            importlib.import_module(
+                "audio_processing_tools.edge.device_dsd_processing_emulator")
+
+
+def test_transform_functions_match_reference(rng):
+    import datetime as dt
+
+    ref_tr = _import_ref_transform()
+    from audio_processing_tools_tpu.transform import (
+        add_weighted_dsd_data,
+        emulator_output_to_df,
+        reverse_binning_func,
+    )
+
+    bins = np.arange(32, dtype=np.float64)
+    np.testing.assert_allclose(
+        reverse_binning_func(bins), ref_tr.reverse_binning_func(bins),
+        rtol=1e-12,
+    )
+
+    vectors = [rng.integers(0, 9, 100).astype(np.float64) for _ in range(3)]
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    ref_df = ref_tr.emulator_output_to_df(vectors, "DEV42", t0)
+    got_df = emulator_output_to_df(vectors, "DEV42", t0)
+    assert list(got_df.columns) == list(ref_df.columns)
+    pd.testing.assert_frame_equal(got_df, ref_df, check_dtype=False)
+
+    ref_w = ref_tr.add_weighted_dsd_data(ref_df.copy(),
+                                         add_weighted_dsd_sum=True)
+    got_w = add_weighted_dsd_data(got_df.copy(), add_weighted_dsd_sum=True)
+    assert list(got_w.columns) == list(ref_w.columns)
+    pd.testing.assert_frame_equal(got_w, ref_w, check_dtype=False)
+
+
+def test_tabularize_audio_data_matches_reference(rng):
+    from audio_processing_tools_tpu.io.tabular import tabularize_audio_data
+
+    key = ("raw_audio/DEV99/2024/03/01/"
+           "20240301_10_00_00_000000_rain_001")
+    pcm, blob = _mark_bytes(rng)
+    raw = {key: blob}
+    ref_df = ref_parse.tabularize_audio_data(raw)
+    got_df = tabularize_audio_data(raw)
+    assert set(ref_df.columns) <= set(got_df.columns) | {"signal"}
+    np.testing.assert_array_equal(
+        got_df.loc[key, "signal"].contents, ref_df.loc[key, "signal"].contents
+    )
+    for col in ref_df.columns:
+        if col == "signal":
+            continue
+        assert got_df.loc[key, col] == ref_df.loc[key, col], col
+
+
+def test_parse_s3_audio_key_matches_reference():
+    from audio_processing_tools_tpu.io.mark import parse_s3_audio_key
+
+    keys = [
+        "raw_audio/DEV99/2024/03/01/20240301_10_00_00_000000_rain_001",
+        "audio/DEVOLD/field/1700000000",
+    ]
+    for key in keys:
+        ref_d = ref_parse.parse_s3_audio_key(key)
+        got_d = parse_s3_audio_key(key)
+        assert set(ref_d) <= set(got_d), (key, set(ref_d) - set(got_d))
+        for k in ref_d:
+            assert got_d[k] == ref_d[k], (key, k, got_d[k], ref_d[k])
