@@ -758,3 +758,84 @@ def test_parse_s3_audio_key_matches_reference():
         assert set(ref_d) <= set(got_d), (key, set(ref_d) - set(got_d))
         for k in ref_d:
             assert got_d[k] == ref_d[k], (key, k, got_d[k], ref_d[k])
+
+
+# ---------------------------------------------------------------------------
+# db_tools upsert flow (db_tools.py:44-139) on shared fake engines
+# ---------------------------------------------------------------------------
+
+def _norm_sql(s):
+    return " ".join(str(s).split())
+
+
+def test_db_upsert_flow_matches_reference(monkeypatch):
+    ref_db = pytest.importorskip("audio_processing_tools.db_tools")
+    from audio_processing_tools_tpu.io.db import upsert_df
+
+    from tests.test_db import FakeEngine
+
+    calls = []
+
+    def fake_to_sql(self, name, conn, **kw):
+        calls.append(name)
+
+    monkeypatch.setattr(pd.DataFrame, "to_sql", fake_to_sql)
+
+    df = pd.DataFrame(
+        {"key": ["a", "b"], "time": [1, 2], "v": [0.5, 1.5]}
+    ).set_index(["key", "time"])
+
+    for exists in (False, True):
+        ref_eng, got_eng = FakeEngine(exists), FakeEngine(exists)
+        calls.clear()
+        assert ref_db.upsert_df(df.copy(), "dsd_from_raw_audio", ref_eng)
+        ref_to_sql = list(calls)
+        calls.clear()
+        assert upsert_df(df.copy(), "dsd_from_raw_audio", got_eng)
+        got_to_sql = list(calls)
+
+        ref_stmts = [_norm_sql(s) for s, _ in ref_eng.conn.executed]
+        got_stmts = [_norm_sql(s) for s, _ in got_eng.conn.executed]
+
+        # same write targets (temp tables carry a random suffix)
+        assert len(got_to_sql) == len(ref_to_sql)
+        for g, r in zip(got_to_sql, ref_to_sql):
+            assert g.split("_")[:2] == r.split("_")[:2] or g == r
+
+        if not exists:
+            # create + unique constraint, NO upsert
+            assert any("ADD CONSTRAINT uq_upsert_dsd_from_raw_audio_key_time"
+                       in s for s in ref_stmts)
+            assert any("ADD CONSTRAINT uq_upsert_dsd_from_raw_audio_key_time"
+                       in s for s in got_stmts)
+            assert not any("ON CONFLICT" in s for s in ref_stmts)
+            assert not any("ON CONFLICT" in s for s in got_stmts)
+        else:
+            # identical conflict-key and EXCLUDED-update clauses
+            ref_up = [s for s in ref_stmts if "ON CONFLICT" in s]
+            got_up = [s for s in got_stmts if "ON CONFLICT" in s]
+            assert len(ref_up) == len(got_up) == 1
+            for frag in ('INSERT INTO "public"."dsd_from_raw_audio"',
+                         'ON CONFLICT ("key", "time") DO UPDATE SET '
+                         '"v" = EXCLUDED."v"'):
+                assert frag in ref_up[0], frag
+                assert frag in got_up[0], frag
+            assert any(s.startswith('DROP TABLE "public"."tmp_')
+                       for s in ref_stmts)
+            assert any(s.startswith('DROP TABLE "public"."tmp_')
+                       for s in got_stmts)
+
+
+def test_get_db_data_sort_matches_reference(monkeypatch):
+    ref_db = pytest.importorskip("audio_processing_tools.db_tools")
+    from audio_processing_tools_tpu.io.db import get_db_data
+
+    from tests.test_db import FakeEngine
+
+    out = pd.DataFrame({"time": [3, 1, 2], "v": [30, 10, 20]})
+    monkeypatch.setattr(pd, "read_sql_query",
+                        lambda q, conn, params=None: out.copy())
+    ref_df = ref_db.get_db_data("SELECT 1", FakeEngine(True))
+    got_df = get_db_data("SELECT 1", FakeEngine(True))
+    pd.testing.assert_frame_equal(got_df, ref_df)
+    assert list(ref_df["time"]) == [1, 2, 3]
