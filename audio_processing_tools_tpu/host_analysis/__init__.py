@@ -12,5 +12,14 @@ from audio_processing_tools_tpu.host_analysis.dsd_emulator import (
     DsdProcessingEmulator,
     DsdProcessingEmualtor,  # reference-misspelling compat alias
 )
+from audio_processing_tools_tpu.host_analysis.dsd_device import (
+    dsd_minutes_device,
+    dsd_minutes_device_duty_cycled,
+)
 
-__all__ = ["DsdProcessingEmulator", "DsdProcessingEmualtor"]
+__all__ = [
+    "DsdProcessingEmulator",
+    "DsdProcessingEmualtor",
+    "dsd_minutes_device",
+    "dsd_minutes_device_duty_cycled",
+]
