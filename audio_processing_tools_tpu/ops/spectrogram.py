@@ -105,12 +105,12 @@ def _pallas_power(x_blocks: jnp.ndarray, n_fft: int, hop: int,
     return out[:, :T, :]
 
 
+def _kernel_shape_ok(n_fft: int, hop: int) -> bool:
+    return hop * 2 == n_fft and n_fft % 128 == 0
+
+
 def _kernel_applicable(n_fft: int, hop: int) -> bool:
-    if hop * 2 != n_fft:
-        return False
-    if n_fft % 128 != 0:
-        return False
-    return jax.default_backend() == "tpu"
+    return _kernel_shape_ok(n_fft, hop) and jax.default_backend() == "tpu"
 
 
 def spectrogram_power(x: jnp.ndarray, n_fft: int = 256, hop: int = 128,
@@ -119,13 +119,33 @@ def spectrogram_power(x: jnp.ndarray, n_fft: int = 256, hop: int = 128,
     """|STFT|^2 -> (..., 1 + n_fft//2, T); fused Pallas path on TPU.
 
     Matches :func:`audio_processing_tools_tpu.ops.stft.stft_power` to float32
-    matmul precision.  ``use_pallas=None`` auto-selects (TPU + hop*2==n_fft).
+    matmul precision.  ``use_pallas=None`` auto-selects *per lowering
+    platform* (``jax.lax.platform_dependent``): the Pallas path on TPU, the
+    XLA rfft path elsewhere — so the same traced engine works when jitted
+    for the CPU backend inside a TPU-default process (the bench's CPU/TPU
+    agreement canary does exactly that; Pallas cannot lower on CPU).
     """
     if use_pallas is None:
-        use_pallas = _kernel_applicable(n_fft, hop)
+        if _kernel_shape_ok(n_fft, hop):
+            from jax.lax import platform_dependent
+
+            return platform_dependent(
+                jnp.asarray(x, jnp.float32),
+                tpu=lambda v: _spectrogram_pallas(
+                    v, n_fft=n_fft, hop=hop, center=center,
+                    interpret=interpret),
+                default=lambda v: stft_power(v, n_fft=n_fft, hop=hop,
+                                             center=center),
+            )
+        return stft_power(x, n_fft=n_fft, hop=hop, center=center)
     if not use_pallas:
         return stft_power(x, n_fft=n_fft, hop=hop, center=center)
+    return _spectrogram_pallas(x, n_fft=n_fft, hop=hop, center=center,
+                               interpret=interpret)
 
+
+def _spectrogram_pallas(x: jnp.ndarray, *, n_fft: int, hop: int,
+                        center: bool, interpret: bool) -> jnp.ndarray:
     x = jnp.asarray(x, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:

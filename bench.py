@@ -318,6 +318,32 @@ def main() -> None:
         ), 1)
         print(f"# mel batch={Bm}: {mel_rate:.0f} audio-sec/sec", file=sys.stderr)
 
+    # Hardware-numerics canary: the same jitted engine on TPU vs the CPU
+    # backend must agree on every frame decision. TPU-only numerics bugs
+    # (e.g. the bf16 default matmul precision that poisoned the IIR scans
+    # in r1-r2) are invisible to the CPU test suite; this check runs on
+    # real hardware every bench and lands in the driver artifact.
+    engine_cpu_tpu_agreement = None
+    if jax.default_backend() == "tpu":
+        small = np.stack([
+            (rng.standard_normal(clip_len) * 2000).astype(np.int16)
+            for _ in range(4)
+        ])
+        fc_tpu = np.asarray(step(jax.device_put(small))["rain_frame_count"])
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            fc_cpu = np.asarray(
+                jax.jit(step_fn, backend="cpu")(jnp.asarray(small))
+                ["rain_frame_count"]
+            )
+        engine_cpu_tpu_agreement = float((fc_tpu == fc_cpu).mean())
+        print(f"# engine cpu/tpu frame agreement: "
+              f"{engine_cpu_tpu_agreement:.3f}", file=sys.stderr)
+        assert engine_cpu_tpu_agreement == 1.0, (
+            f"TPU-only numerics drift: rain_frame_count agreement "
+            f"{engine_cpu_tpu_agreement} (cpu {fc_cpu} vs tpu {fc_tpu})"
+        )
+
     # Pallas-vs-XLA spectrogram parity, captured on hardware every run
     # (BASELINE.md bound: <1e-5 normalized max deviation)
     pallas_dev = None
@@ -355,6 +381,7 @@ def main() -> None:
         "suppress_p50_ms": suppress_p50_ms,
         "mel_value": mel_rate,
         "pallas_max_rel_dev": pallas_dev,
+        "engine_cpu_tpu_frame_agreement": engine_cpu_tpu_agreement,
         "codec": "pcm+alac" if alac_rate is not None else "pcm",
         "hbm_bytes_in_use": _hbm_in_use(jax),
         "backend": jax.default_backend(),
