@@ -132,20 +132,27 @@ def main() -> None:
             r = step_fn_jit(jax.device_put(decode_batch(mark_batches[j % 2], mats[j])))
         np.asarray(r[fetch_key])
 
-        # decode worker: overlap container parsing with the (host-blocking)
-        # device_put of the previous batch
+        # decode + device_put both live on the worker thread: the main
+        # thread's result fetches (D2H) then overlap the next batch's H2D —
+        # measured +22% over main-thread puts on the tunnel.  Buffer safety:
+        # mats[j] is reused only after the batch that used it has been
+        # fetched (DEPTH=2 < len(mats)), which forces its transfer complete.
+        def decode_put(files, out):
+            decode_batch(files, out)
+            return jax.device_put(out)
+
         pool = ThreadPoolExecutor(1)
         t0 = time.perf_counter()
-        fut = pool.submit(decode_batch, mark_batches[0], mats[0])
+        fut = pool.submit(decode_put, mark_batches[0], mats[0])
         inflight = []
         for i in range(iters):
-            m = fut.result()
+            d = fut.result()
             if i + 1 < iters:
                 fut = pool.submit(
-                    decode_batch, mark_batches[(i + 1) % 2],
+                    decode_put, mark_batches[(i + 1) % 2],
                     mats[(i + 1) % len(mats)],
                 )
-            inflight.append(step_fn_jit(jax.device_put(m)))
+            inflight.append(step_fn_jit(d))
             while len(inflight) > DEPTH:
                 np.asarray(inflight.pop(0)[fetch_key])
         for out in inflight:
