@@ -60,10 +60,13 @@ def have_ffmpeg() -> bool:
 
 
 def have_alac_decoder() -> bool:
-    """True when either ALAC decode route (shim or ffmpeg) is available."""
-    from audio_processing_tools_tpu.io.alac_native import have_alac_shim
+    """True when any ALAC decode route (fast, shim, or ffmpeg) is available."""
+    from audio_processing_tools_tpu.io.alac_native import (
+        have_alac_shim,
+        have_fast_decoder,
+    )
 
-    return have_alac_shim() or have_ffmpeg()
+    return have_fast_decoder() or have_alac_shim() or have_ffmpeg()
 
 
 def decode_alac_to_pcm(audio_data: bytes, *, ffmpeg_path: Optional[str] = None,
@@ -79,14 +82,15 @@ def decode_alac_to_pcm(audio_data: bytes, *, ffmpeg_path: Optional[str] = None,
         from audio_processing_tools_tpu.io.alac_native import (
             decode_alac_payload,
             have_alac_shim,
+            have_fast_decoder,
         )
 
-        if have_alac_shim():
+        if have_fast_decoder() or have_alac_shim():
             return decode_alac_payload(audio_data)
         if method == "native":
             raise RuntimeError(
-                "native ALAC decode requested but libalac_shim.so is "
-                "unavailable (build with `make -C native`)"
+                "native ALAC decode requested but neither libalac_fast.so "
+                "nor libalac_shim.so is available (build with `make -C native`)"
             )
 
     ffmpeg = resolve_ffmpeg_path(ffmpeg_path)

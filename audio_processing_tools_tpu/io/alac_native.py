@@ -1,15 +1,31 @@
-"""In-process ALAC codec via the libavcodec shim (``native/alac_shim.cpp``).
+"""In-process ALAC codec: fast native decoder + libavcodec shim.
 
 The reference decodes firmware ALAC payloads by shelling out to the ffmpeg
-binary (reference ``parse.py:422-446``); this binding runs the same decoder
-(libavcodec's ALAC implementation) in-process through a small C ABI, so
-ingest works without an ffmpeg executable or temp files.
+binary (reference ``parse.py:422-446``). This binding offers two in-process
+routes:
 
-It also provides the inverse — ``encode_alac_payload`` produces a
+  * **fast** (``native/alac_decode.cpp`` -> ``libalac_fast.so``): a
+    dependency-free from-scratch ALAC bitstream decoder for the firmware's
+    subset (mono, 16-bit). It decodes a whole BER-framed payload in ONE C
+    call — no per-packet AVPacket round trips, no Python packet loop — and
+    is validated bit-exactly against libavcodec on randomized corpora
+    (``tests/test_alac.py``).
+  * **avcodec** (``native/alac_shim.cpp`` -> ``libalac_shim.so``): the same
+    decoder the ffmpeg binary uses (libavcodec's ALAC), linked in-process.
+    It is the differential oracle for the fast decoder and the fallback for
+    anything outside the fast subset (stereo, >16-bit).
+
+Route selection: ``decode_alac_payload``/``decode_alac_packets`` try the
+fast decoder first and fall back to the shim; set ``APT_ALAC_DECODER`` to
+``fast`` or ``avcodec`` to force one (tests use this to differential-check
+the two).
+
+The module also provides the inverse — ``encode_alac_payload`` produces a
 firmware-geometry payload (128-sample ALAC packets, each prefixed by the
 3-byte BER size header the firmware writes — see ``io/caf.py``), which the
 test suite and synthetic-corpus tools use to exercise the real
-``file_version >= 1`` ingest branch end to end.
+``file_version >= 1`` ingest branch end to end. Encoding always uses
+libavcodec (it only serves fixtures/tooling; decode is the hot path).
 """
 
 from __future__ import annotations
@@ -84,6 +100,61 @@ def have_alac_shim() -> bool:
     return _lib is not None
 
 
+_FAST_NAME = "libalac_fast.so"
+_fast: Optional[CDLL] = None
+_fast_checked = False
+
+
+def load_alac_fast(so_path: Optional[str] = None) -> CDLL:
+    """Load (building on demand) the dependency-free fast ALAC decoder."""
+    path = so_path or os.environ.get("ALAC_FAST_LIB") or os.path.join(
+        _native_dir(), _FAST_NAME
+    )
+    if not os.path.exists(path):
+        subprocess.run(
+            ["make", "-C", _native_dir()], check=True, capture_output=True
+        )
+    lib = CDLL(path)
+    lib.apt_alac_fast_last_error.restype = ctypes.c_char_p
+    lib.apt_alac_fast_version.restype = ctypes.c_uint32
+    lib.apt_alac_fast_decode.restype = c_int64
+    lib.apt_alac_fast_decode.argtypes = [
+        ctypes.c_char_p, c_int32, ctypes.c_char_p, POINTER(c_int32),
+        c_int32, POINTER(c_int16), c_int64,
+    ]
+    lib.apt_alac_fast_decode_payload.restype = c_int64
+    lib.apt_alac_fast_decode_payload.argtypes = [
+        ctypes.c_char_p, c_int32, ctypes.c_char_p, c_int64,
+        POINTER(c_int16), c_int64,
+    ]
+    return lib
+
+
+def have_fast_decoder() -> bool:
+    """True when ``libalac_fast.so`` is available (it has no external deps,
+    so this is false only when the native toolchain is missing)."""
+    global _fast, _fast_checked
+    if not _fast_checked:
+        _fast_checked = True
+        try:
+            _fast = load_alac_fast()
+        except (OSError, FileNotFoundError, subprocess.CalledProcessError):
+            _fast = None
+    return _fast is not None
+
+
+def _fast_supports(cookie: bytes) -> bool:
+    """The fast decoder's subset: mono, 16-bit (the firmware's format)."""
+    return len(cookie) >= 24 and cookie[5] == 16 and cookie[9] == 1
+
+
+def _decoder_route() -> str:
+    route = os.environ.get("APT_ALAC_DECODER", "auto")
+    if route not in ("auto", "fast", "avcodec"):
+        raise ValueError(f"APT_ALAC_DECODER must be auto/fast/avcodec, got {route!r}")
+    return route
+
+
 def _shim() -> CDLL:
     if not have_alac_shim():
         raise RuntimeError(
@@ -142,13 +213,10 @@ def _ber_frame_header(size: int) -> bytes:
 # codec entry points
 
 
-def decode_alac_packets(
-    packets: list[bytes], cookie: bytes = FIRMWARE_MAGIC_COOKIE
-) -> np.ndarray:
-    """Decode raw ALAC packets to int16 PCM via libavcodec."""
-    lib = _shim()
+def _avcodec_decode_packets(packets: list[bytes], cookie: bytes) -> np.ndarray:
     if not packets:
         return np.zeros(0, np.int16)
+    lib = _shim()
     data = b"".join(packets)
     sizes = (c_int32 * len(packets))(*[len(p) for p in packets])
     # capacity: every packet carries at most frameLength samples (the
@@ -171,10 +239,92 @@ def decode_alac_packets(
     return out[:n]
 
 
+def _fast_decode_packets(packets: list[bytes], cookie: bytes) -> np.ndarray:
+    assert _fast is not None
+    data = b"".join(packets)
+    sizes = (c_int32 * len(packets))(*[len(p) for p in packets])
+    frame_len = int.from_bytes(cookie[:4], "big") or ALAC_DEFAULT_FRAMES_PER_PACKET
+    cap = frame_len * len(packets)  # exact bound: <= frame_len samples/packet
+    out = np.empty(cap, np.int16)
+    n = _fast.apt_alac_fast_decode(
+        cookie, len(cookie), data, sizes, len(packets),
+        out.ctypes.data_as(POINTER(c_int16)), cap,
+    )
+    if n < 0:
+        raise RuntimeError(
+            f"ALAC decode failed: {_fast.apt_alac_fast_last_error().decode()}"
+        )
+    if n > cap:
+        raise RuntimeError(f"ALAC decode overflow: {n} samples > cap {cap}")
+    return out[:n]
+
+
+def _fast_decode_payload(payload: bytes, cookie: bytes) -> np.ndarray:
+    assert _fast is not None
+    frame_len = int.from_bytes(cookie[:4], "big") or ALAC_DEFAULT_FRAMES_PER_PACKET
+    # every BER-framed packet occupies >= 4 payload bytes (3-byte header +
+    # body); if a degenerate stream still overflows, retry with the exact
+    # count the decoder reports (it never writes past out_cap)
+    cap = frame_len * (len(payload) // 4 + 1)
+    while True:
+        out = np.empty(cap, np.int16)
+        n = _fast.apt_alac_fast_decode_payload(
+            cookie, len(cookie), payload, len(payload),
+            out.ctypes.data_as(POINTER(c_int16)), cap,
+        )
+        if n < 0:
+            raise RuntimeError(
+                f"ALAC decode failed: "
+                f"{_fast.apt_alac_fast_last_error().decode()}"
+            )
+        if n <= cap:
+            return out[:n]
+        cap = int(n)
+
+
+def decode_alac_packets(
+    packets: list[bytes], cookie: bytes = FIRMWARE_MAGIC_COOKIE
+) -> np.ndarray:
+    """Decode raw ALAC packets to int16 PCM (fast decoder, avcodec fallback)."""
+    if not packets:
+        return np.zeros(0, np.int16)
+    route = _decoder_route()
+    if route in ("auto", "fast") and _fast_supports(cookie) and have_fast_decoder():
+        try:
+            return _fast_decode_packets(packets, cookie)
+        except RuntimeError:
+            if route == "fast":
+                raise
+    if route == "fast":
+        raise RuntimeError(
+            "fast ALAC decode requested but libalac_fast.so is unavailable "
+            "or the stream is outside its mono/16-bit subset"
+        )
+    return _avcodec_decode_packets(packets, cookie)
+
+
 def decode_alac_payload(payload: bytes,
                         cookie: bytes = FIRMWARE_MAGIC_COOKIE) -> np.ndarray:
-    """Decode a BER-framed firmware ALAC payload to int16 PCM."""
-    return decode_alac_packets(split_ber_packets(payload), cookie)
+    """Decode a BER-framed firmware ALAC payload to int16 PCM.
+
+    The preferred route decodes the whole payload — BER packet walk
+    included — in a single call into ``libalac_fast.so``; the libavcodec
+    shim route (Python packet split + per-packet AVPacket) is the fallback
+    and the differential oracle.
+    """
+    route = _decoder_route()
+    if route in ("auto", "fast") and _fast_supports(cookie) and have_fast_decoder():
+        try:
+            return _fast_decode_payload(payload, cookie)
+        except RuntimeError:
+            if route == "fast":
+                raise
+    if route == "fast":
+        raise RuntimeError(
+            "fast ALAC decode requested but libalac_fast.so is unavailable "
+            "or the stream is outside its mono/16-bit subset"
+        )
+    return _avcodec_decode_packets(split_ber_packets(payload), cookie)
 
 
 def encode_alac_frames(

@@ -241,11 +241,14 @@ def main() -> None:
     suppress_p50_ms = None
     mel_rate = None
     if not args.no_subbench:
-        # BASELINE config #2: real ALAC payloads; host decode = libavcodec
-        # shim inside parse_mark_audio_file (reference: parse.py:373-472)
+        # BASELINE config #2: real ALAC payloads; host decode = the fast
+        # native decoder (libalac_fast.so) inside parse_mark_audio_file,
+        # libavcodec shim fallback (reference: parse.py:373-472). Note the
+        # encoder that builds the fixture batch still needs the shim.
         try:
             from audio_processing_tools_tpu.io.alac_native import have_alac_shim
-            alac_ok = have_alac_shim()
+            alac_ok = have_alac_shim()  # encoder (fixtures) needs the shim;
+            # decode auto-routes to libalac_fast.so when present
         except Exception:
             alac_ok = False
         if alac_ok:

@@ -128,8 +128,11 @@ def test_explicit_ffmpeg_route_reports_missing_binary(rng):
 
 @needs_shim
 def test_corrupt_packet_raises(rng):
+    # stomp the first packet's frame header (element tag / header bits) —
+    # structurally invalid for every decoder; ALAC has no CRC, so corruption
+    # confined to the entropy-coded residuals may decode to garbage instead
     payload = bytearray(encode_alac_payload(_test_signal(rng, 256), 11162))
-    payload[10:14] = b"\xff\xff\xff\xff"  # stomp inside the first packet
+    payload[3] = 0x40  # element tag 2 (CCE): not a valid ALAC element
     with pytest.raises(RuntimeError, match="ALAC decode failed"):
         decode_alac_payload(bytes(payload))
 
@@ -137,3 +140,108 @@ def test_corrupt_packet_raises(rng):
 def test_decode_method_validation():
     with pytest.raises(ValueError, match="unknown ALAC decode method"):
         decode_alac_to_pcm(b"", method="bogus")
+
+
+# ---------------------------------------------------------------------------
+# fast native decoder (native/alac_decode.cpp): libavcodec is the oracle
+
+
+from audio_processing_tools_tpu.io.alac_native import (  # noqa: E402
+    decode_alac_packets,
+    encode_alac_frames as _encode_frames,
+    have_fast_decoder,
+)
+
+needs_fast = pytest.mark.skipif(
+    not have_fast_decoder(), reason="libalac_fast.so unavailable"
+)
+
+
+def _fast_corpus(rng, sr=11162, sec=1.2):
+    """Signal classes spanning the rice/LPC/verbatim/zero-block code paths."""
+    n = int(sr * sec)
+    t = np.arange(n) / sr
+    return {
+        "gauss": rng.normal(0, 2000, n).astype(np.int16),
+        "tone": (8000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16),
+        "silence": np.zeros(n, np.int16),
+        "ramp": (np.arange(n) % 30000 - 15000).astype(np.int16),
+        "mixed": (3000 * np.sin(2 * np.pi * 100 * t)
+                  + rng.normal(0, 50, n)).astype(np.int16),
+        "loud": rng.normal(0, 20000, n).clip(-32768, 32767).astype(np.int16),
+        "dc": np.full(n, 137, np.int16),
+        "tiny_amp": rng.normal(0, 1.5, n).astype(np.int16),
+        "impulses": np.where(rng.random(n) < 0.001, 30000, 0).astype(np.int16),
+        "partial": rng.normal(0, 500, 1234).astype(np.int16),
+        "one": np.array([-32768], np.int16),
+        "extremes": np.tile(np.array([-32768, 32767], np.int16), 500),
+    }
+
+
+@needs_fast
+def test_fast_decoder_loads():
+    from audio_processing_tools_tpu.io.alac_native import load_alac_fast
+
+    assert load_alac_fast().apt_alac_fast_version() >= 1
+
+
+@needs_fast
+@needs_shim
+def test_fast_vs_avcodec_bit_exact(rng, monkeypatch):
+    """Every corpus class decodes bit-identically through both routes."""
+    for name, pcm in _fast_corpus(rng).items():
+        payload = encode_alac_payload(pcm, 11162)
+        monkeypatch.setenv("APT_ALAC_DECODER", "avcodec")
+        ref = decode_alac_payload(payload)
+        monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+        got = decode_alac_payload(payload)
+        np.testing.assert_array_equal(got, ref, err_msg=name)
+        np.testing.assert_array_equal(got[: len(pcm)], pcm, err_msg=name)
+
+
+@needs_fast
+def test_fast_payload_equals_fast_packets(rng, monkeypatch):
+    """The one-call BER walk matches split_ber_packets + packet decode."""
+    monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+    pcm = _test_signal(rng, 5581)
+    payload = encode_alac_payload(pcm, 11162)
+    via_payload = decode_alac_payload(payload)
+    via_packets = decode_alac_packets(split_ber_packets(payload))
+    np.testing.assert_array_equal(via_payload, via_packets)
+
+
+@needs_fast
+def test_fast_route_rejects_outside_subset(rng, monkeypatch):
+    """A non-mono cookie is outside the fast subset; forcing it must fail
+    loudly rather than silently fall back."""
+    monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+    pcm = _test_signal(rng, 256)
+    payload = encode_alac_payload(pcm, 11162)
+    stereo_cookie = bytearray(FIRMWARE_MAGIC_COOKIE)
+    stereo_cookie[9] = 2
+    with pytest.raises(RuntimeError, match="fast ALAC decode requested"):
+        decode_alac_payload(payload, bytes(stereo_cookie))
+
+
+@needs_fast
+def test_fast_corrupt_packet_raises(rng, monkeypatch):
+    # structural header corruption (see test_corrupt_packet_raises)
+    monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+    payload = bytearray(encode_alac_payload(_test_signal(rng, 256), 11162))
+    payload[3] = 0x40  # element tag 2 (CCE): not a valid ALAC element
+    with pytest.raises(RuntimeError, match="ALAC decode failed"):
+        decode_alac_payload(bytes(payload))
+
+
+@needs_fast
+def test_fast_golden_fixture_decodes(monkeypatch):
+    """The checked-in golden payload decodes identically via the fast route."""
+    payload_path = os.path.join(FIXTURE_DIR, "alac_golden.bin")
+    pcm_path = os.path.join(FIXTURE_DIR, "alac_golden_pcm.npy")
+    if not (os.path.exists(payload_path) and os.path.exists(pcm_path)):
+        pytest.skip("golden ALAC fixture not present")
+    with open(payload_path, "rb") as f:
+        payload = f.read()
+    expected = np.load(pcm_path)
+    monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+    np.testing.assert_array_equal(decode_alac_payload(payload), expected)
