@@ -245,3 +245,34 @@ def test_fast_golden_fixture_decodes(monkeypatch):
     expected = np.load(pcm_path)
     monkeypatch.setenv("APT_ALAC_DECODER", "fast")
     np.testing.assert_array_equal(decode_alac_payload(payload), expected)
+
+
+@needs_fast
+@needs_shim
+def test_fast_vs_avcodec_fuzz(rng, monkeypatch):
+    """Randomized property fuzz: arbitrary lengths, amplitudes, and spectral
+    shapes all decode bit-identically through both routes (the from-scratch
+    decoder has no oracle other than libavcodec — keep hammering it)."""
+    for trial in range(25):
+        n = int(rng.integers(1, 4000))
+        kind = trial % 5
+        if kind == 0:
+            pcm = rng.normal(0, float(rng.uniform(0.5, 25000)), n)
+        elif kind == 1:
+            f = float(rng.uniform(10, 5000))
+            pcm = 30000 * np.sin(2 * np.pi * f * np.arange(n) / 11162)
+        elif kind == 2:  # lowpassed noise: strong LPC predictability
+            pcm = np.cumsum(rng.normal(0, 300, n))
+        elif kind == 3:  # sparse spikes over silence: zero-run blocks
+            pcm = np.where(rng.random(n) < 0.01, 25000.0, 0.0)
+        else:  # hard-clipped square-ish: verbatim escapes
+            pcm = np.sign(rng.normal(0, 1, n)) * 32767
+        pcm = np.clip(pcm, -32768, 32767).astype(np.int16)
+        payload = encode_alac_payload(pcm, 11162)
+        monkeypatch.setenv("APT_ALAC_DECODER", "avcodec")
+        ref = decode_alac_payload(payload)
+        monkeypatch.setenv("APT_ALAC_DECODER", "fast")
+        got = decode_alac_payload(payload)
+        np.testing.assert_array_equal(
+            got, ref, err_msg=f"trial {trial} kind {kind} n {n}"
+        )
