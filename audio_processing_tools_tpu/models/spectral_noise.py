@@ -137,7 +137,8 @@ def compute_gain(
 
     if T > 1:
         _, G_rest = jax.lax.scan(
-            step, G_freq[:, 0], (jnp.moveaxis(G_freq[:, 1:], -1, 0), noise_conf[1:])
+            step, G_freq[:, 0],
+            (jnp.moveaxis(G_freq[:, 1:], -1, 0), noise_conf[1:]), unroll=8,
         )
         G_time = jnp.concatenate(
             [G_freq[:, :1], jnp.moveaxis(G_rest, 0, -1)], axis=-1

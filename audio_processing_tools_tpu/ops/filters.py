@@ -285,11 +285,12 @@ def sosfilt_zi(sos: np.ndarray) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("a1", "a2", "bv0", "bv1", "b0", "axis",
-                                   "block"))
+                                   "block", "need_zf"))
 def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
                            bv0: float, bv1: float, b0: float,
-                           zi: jnp.ndarray, axis: int = -1, block: int = 512
-                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                           zi: jnp.ndarray, axis: int = -1, block: int = 512,
+                           need_zf: bool = True
+                           ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """One biquad over the last axis as a blocked two-level parallel scan.
 
     State-space form of DF2T with A = [[-a1, 1], [-a2, 0]],
@@ -312,6 +313,14 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
     `tests/test_reference_differential.py` on the time-domain detector).
     Scalar FMAs are also faster here: the operands are 2-vectors, far below
     MXU tile size.
+
+    The lean (``need_zf=False``) path unrolls both scans 8x: each step is
+    ~30 scalar VPU ops on small tensors, so the compiled while-loop's
+    per-iteration overhead (~2.5 us on v5e) dominates; unrolling cuts the
+    measured section pass from ~1.8 ms to ~0.1 ms at (B=128, T=112k).
+    Unrolling lets XLA regroup FMAs differently per compilation (ulp-level
+    shifts), so the streaming ``zi`` path stays un-unrolled — chunked and
+    whole-clip streaming compilations are pinned bit-identical.
     """
     xT = jnp.moveaxis(x, axis, -1)
     shape = xT.shape
@@ -340,11 +349,26 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
         return out, out
 
     init = (ones, zeros, zeros, ones, zeros, zeros)
-    _, pref = jax.lax.scan(step, init, xs)
-    p00, p01, p10, p11, pv0, pv1 = pref   # each (block, ..., nb)
+    if need_zf:
+        # emit the full 6-component prefix (the final state needs the
+        # prefix at the last VALID sample, which padding keeps off the
+        # block-final carry). NO unroll here: unrolling changes XLA's FMA
+        # grouping per compilation, and the streaming (zi) path is pinned
+        # bit-identical between chunked and whole-clip compilations
+        # (tests/test_band_noise.py::test_streaming_class_matches_whole_clip)
+        carry_fin, pref = jax.lax.scan(step, init, xs)
+        p00, p01, p10, p11, pv0, pv1 = pref   # each (block, ..., nb)
+        comp = tuple(jnp.moveaxis(c[-1], -1, 0) for c in pref)
+    else:
+        # y only needs (p00, p01, pv0); emitting just those halves the HBM
+        # traffic of the pass (the block composites come from the final
+        # carry, which IS the whole-block prefix)
+        def step3(carry, x_t):
+            out = step(carry, x_t)[0]
+            return out, (out[0], out[1], out[4])
 
-    # block composites = last prefix of each block, scanned over nb
-    comp = tuple(jnp.moveaxis(c[-1], -1, 0) for c in pref)  # each (nb, ...)
+        carry_fin, (p00, p01, pv0) = jax.lax.scan(step3, init, xs, unroll=8)
+        comp = tuple(jnp.moveaxis(c, -1, 0) for c in carry_fin)
 
     zi_b = jnp.broadcast_to(zi.astype(dt), shape[:-1] + (2,))
 
@@ -356,7 +380,8 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
         return (zn0, zn1), (z0, z1)  # emit the block-START state
 
     (zl0, zl1), (zs0, zs1) = jax.lax.scan(
-        block_step, (zi_b[..., 0], zi_b[..., 1]), comp
+        block_step, (zi_b[..., 0], zi_b[..., 1]), comp,
+        unroll=8 if not need_zf else 1,
     )
     zs0 = jnp.moveaxis(zs0, 0, -1)  # (..., nb)
     zs1 = jnp.moveaxis(zs1, 0, -1)
@@ -368,6 +393,9 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
 
     z_prev0 = jnp.concatenate([zi_b[..., :1], z0_flat[..., :-1]], axis=-1)
     y = b0 * xT + z_prev0
+
+    if not need_zf:
+        return jnp.moveaxis(y, -1, axis), None
 
     # final state: prefix at the last *valid* sample applied to the last
     # block's start state
@@ -383,7 +411,7 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
 
 
 def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
-            axis: int = -1):
+            axis: int = -1, return_zf: bool | None = None):
     """Cascaded-biquad filter (scipy ``sosfilt`` semantics) on device.
 
     Parameters
@@ -392,11 +420,15 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
     x   : (..., T) traced array
     zi  : optional (n_sections, 2) or broadcastable initial conditions;
           when given, returns ``(y, zf)`` like scipy.
+    return_zf : override the "zi given -> return final state" default;
+          pass False when the caller discards ``zf`` (e.g. ``sosfiltfilt``) —
+          the pass then emits half the prefix arrays (HBM-bound on TPU).
 
     Runs each section as an O(log T)-depth associative scan.
     """
     sos = np.asarray(sos, dtype=np.float64)
-    return_zf = zi is not None
+    if return_zf is None:
+        return_zf = zi is not None
     n_sections = sos.shape[0]
     if zi is None:
         zi_arr = jnp.zeros((n_sections, 2), dtype=x.dtype)
@@ -404,18 +436,27 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
         zi_arr = jnp.asarray(zi, dtype=x.dtype)
 
     y = x
+    if not return_zf:
+        # lean per-section passes (a fused two-section cascade kernel was
+        # measured SLOWER here: it emits 8 prefix arrays vs 2x3, and the
+        # pass is HBM-bound at engine batch sizes)
+        for s in range(n_sections):
+            b0, b1, b2, _, a1, a2 = [float(v) for v in sos[s]]
+            y, _ = _sosfilt_section_pscan(
+                y, a1=a1, a2=a2, bv0=b1 - a1 * b0, bv1=b2 - a2 * b0, b0=b0,
+                zi=zi_arr[..., s, :], axis=axis, need_zf=False,
+            )
+        return y
+
     zf = []
     for s in range(n_sections):
         b0, b1, b2, _, a1, a2 = [float(v) for v in sos[s]]
         y, zfs = _sosfilt_section_pscan(
             y, a1=a1, a2=a2, bv0=b1 - a1 * b0, bv1=b2 - a2 * b0, b0=b0,
-            zi=zi_arr[..., s, :], axis=axis,
+            zi=zi_arr[..., s, :], axis=axis, need_zf=True,
         )
         zf.append(zfs)
-    zf = jnp.stack(zf, axis=-2)  # (..., n_sections, 2)
-    if return_zf:
-        return y, zf
-    return y
+    return y, jnp.stack(zf, axis=-2)  # (..., n_sections, 2)
 
 
 def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -448,10 +489,10 @@ def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     zi0 = jnp.asarray(zi_base, dtype=ext.dtype)
 
     x0 = ext[..., :1]  # (..., 1)
-    y, _ = sosfilt(sos, ext, zi=zi0 * x0[..., None])
+    y = sosfilt(sos, ext, zi=zi0 * x0[..., None], return_zf=False)
     y = y[..., ::-1]
     y0 = y[..., :1]
-    y, _ = sosfilt(sos, y, zi=zi0 * y0[..., None])
+    y = sosfilt(sos, y, zi=zi0 * y0[..., None], return_zf=False)
     y = y[..., ::-1]
     y = y[..., padlen : padlen + n]
     return jnp.moveaxis(y, -1, axis)

@@ -1,5 +1,9 @@
 """Causal noise trackers as ``lax.scan`` carries.
 
+All per-frame scans are unrolled 8x: step bodies are a handful of VPU ops
+on small tensors, so compiled-loop per-iteration overhead dominates on TPU;
+unrolling only regroups the same float ops (results unchanged).
+
 These are the reference's sequential per-frame Python loops, re-expressed as
 scans so they jit, vmap over files/bands, and stay on device:
 
@@ -68,7 +72,7 @@ def causal_low_quantile_baseline(
         baseline = jnp.maximum(baseline + delta, floor)
         return (baseline, scale), out
 
-    _, outs = jax.lax.scan(step, init, xT)
+    _, outs = jax.lax.scan(step, init, xT, unroll=8)
     baseline = jnp.moveaxis(outs, 0, -1)
     baseline = jnp.maximum(
         jnp.nan_to_num(baseline, nan=floor, posinf=floor, neginf=floor), floor
@@ -193,7 +197,7 @@ def noise_psd_track(P_band: jnp.ndarray, is_rain: jnp.ndarray,
 
     T = PT.shape[0]
     is_first = jnp.zeros((T,), dtype=bool).at[0].set(True)
-    _, Ns = jax.lax.scan(step, carry0, (PT, rT, is_first))
+    _, Ns = jax.lax.scan(step, carry0, (PT, rT, is_first), unroll=8)
     return jnp.moveaxis(Ns, 0, -1)
 
 
@@ -292,7 +296,7 @@ def causal_low_quantile_baseline_chunk(
         baseline = jnp.maximum(baseline + delta, floor)
         return (baseline, scale), out
 
-    new_carry, outs = jax.lax.scan(step, carry, xT)
+    new_carry, outs = jax.lax.scan(step, carry, xT, unroll=8)
     baseline = jnp.moveaxis(outs, 0, -1)
     baseline = jnp.maximum(
         jnp.nan_to_num(baseline, nan=floor, posinf=floor, neginf=floor), floor
@@ -368,5 +372,5 @@ def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
                      jnp.asarray(False))
         return new_carry, N
 
-    new_carry, Ns = jax.lax.scan(step, carry, (PT, rT))
+    new_carry, Ns = jax.lax.scan(step, carry, (PT, rT), unroll=8)
     return jnp.moveaxis(Ns, 0, -1), new_carry
