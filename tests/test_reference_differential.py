@@ -288,6 +288,91 @@ def test_band_noise_estimator_matches_reference(clip, variant):
             )
 
 
+def _random_band_noise_overrides(rng: np.random.Generator):
+    """One seeded random draw over the estimator+detector config space.
+
+    Covers the knobs that change *control flow* (replenish, TTL expiry,
+    adaptive-q, learn gating, hold length) plus the continuous smoothing
+    coefficients — the hand-picked variants above only walk three corners.
+    """
+    W = int(rng.integers(4, 32))
+    est = {
+        "W": W,
+        "W_min": int(rng.integers(1, W + 1)),
+        "noise_buffer_ttl_frames": int(rng.choice([0, 5, 40, 200])),
+        "q": float(rng.uniform(0.1, 0.7)),
+        "ema_alpha": float(rng.uniform(0.3, 1.0)),
+        "gain_floor": float(rng.uniform(0.02, 0.3)),
+        "ne_attack_alpha_dry": float(rng.uniform(0.05, 0.3)),
+        "ne_attack_alpha_wet": float(rng.uniform(0.005, 0.05)),
+        "ne_release_alpha": float(rng.uniform(0.1, 0.6)),
+        "smooth_N_E": bool(rng.integers(0, 2)),
+        "learn_during_rain": bool(rng.integers(0, 2)),
+        "force_learn_all": bool(rng.integers(0, 4) == 0),
+        "noise_replenish_from_all_subframes": bool(rng.integers(0, 2)),
+        "noise_replenish_q": float(rng.uniform(0.1, 0.4)),
+        "noise_replenish_only_when_buffer_not_full": bool(rng.integers(0, 2)),
+        "noise_q_adapt_enable": bool(rng.integers(0, 2)),
+        "noise_q_replenish_alpha": float(rng.uniform(0.05, 0.5)),
+        "noise_q_normal_alpha": float(rng.uniform(0.05, 0.5)),
+    }
+    det = {
+        "M_db": float(rng.uniform(3.0, 9.0)),
+        "N_db": float(rng.uniform(1.0, 6.0)),
+        "k_subframes": int(rng.integers(1, 5)),
+        "band_rise_db": float(rng.uniform(4.0, 10.0)),
+        "excess_rise_db": float(rng.uniform(1.0, 6.0)),
+    }
+    return est, det
+
+
+@pytest.mark.parametrize("draw", range(6))
+def test_band_noise_estimator_matches_reference_fuzzed_config(draw):
+    """Seeded config-space fuzz: exact decisions + tight floats per draw.
+
+    Complements the three fixed variants above; each draw randomizes every
+    learning/replenish/adaptive-q/hold knob on BOTH the estimator and its
+    frame detector (``band_noise_estimator.py:413-511,56-96``) and streams
+    a mixed rain+noise clip through the reference and the rebuild
+    side by side.
+    """
+    rng = np.random.default_rng(1000 + draw)
+    est_over, det_over = _random_band_noise_overrides(rng)
+    # mixed-content clip so rain gating / replenish paths actually engage
+    half = synth_clip("rain_heavy", rng, fs=FS, seconds=1.0)
+    rest = synth_clip("noise", rng, fs=FS, seconds=1.0)
+    clip = np.concatenate([rest[: FS // 2], half, rest[FS // 2 :]])
+
+    frame_len = 512
+    ref_cfg = ref_bne.BandNoiseEstimatorConfig(
+        dtype=np.float64,
+        det=ref_bne.NoiseFrameDetectorConfig(**det_over),
+        **est_over,
+    )
+    got_cfg = BandNoiseEstimatorConfig(
+        det=NoiseFrameDetectorConfig(**det_over), **est_over
+    )
+    ref_outs = _stream_reference(ref_cfg, clip.astype(np.float64), frame_len)
+    est = TpuBandNoiseEstimator(got_cfg)
+    for t, ref_out in enumerate(ref_outs):
+        got_out = est.process_frame(clip[t * frame_len : (t + 1) * frame_len])
+        assert bool(got_out.fft_rain_frame) == bool(ref_out.fft_rain_frame), (
+            f"frame {t}: fft_rain_frame differs (draw {draw})"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_out.rain_submask, bool),
+            np.asarray(ref_out.rain_submask, bool),
+            err_msg=f"frame {t}: rain_submask differs (draw {draw})",
+        )
+        for field in ("E_band", "M_band", "N_E", "G_mag", "M_clean"):
+            ref_v = float(getattr(ref_out, field))
+            got_v = float(getattr(got_out, field))
+            np.testing.assert_allclose(
+                got_v, ref_v, rtol=2e-4, atol=1e-6 * max(abs(ref_v), 1e-12),
+                err_msg=f"frame {t}: {field} differs (draw {draw})",
+            )
+
+
 # ---------------------------------------------------------------------------
 # TimeDomainRainDetector (time_domain_detector.py:242-314)
 # ---------------------------------------------------------------------------
