@@ -47,6 +47,7 @@ from audio_processing_tools_tpu.models.frame_classifier import (  # noqa: E402
     detect_rain_over_time,
 )
 from audio_processing_tools_tpu.models.time_domain import (  # noqa: E402
+    TimeDomainDetectorConfig as TpuTimeDomainDetectorConfig,
     TimeDomainRainDetector as TpuTimeDomainRainDetector,
 )
 from audio_processing_tools_tpu.ops.features_spec import (  # noqa: E402
@@ -419,6 +420,63 @@ def test_time_domain_detector_stage1_mask_matches_reference(clip, rng):
     )
     np.testing.assert_array_equal(
         np.asarray(got_out["candidate_peaks"]), ref_out["candidate_peaks"]
+    )
+
+
+@pytest.mark.parametrize("draw", range(6))
+def test_time_domain_detector_matches_reference_fuzzed_config(draw):
+    """Seeded config fuzz over the stage-2 confirmer's knobs.
+
+    Randomizes context window, band selection, filter order, envelope
+    smoothing, peak geometry, and the crest/kurtosis gates
+    (``time_domain_detector.py:10-38``); asserts the same exact
+    mask/count/peak parity as the default-config test on a mixed clip.
+    """
+    rng = np.random.default_rng(2000 + draw)
+    over = {
+        "prev_context_hops": int(rng.integers(0, 3)),
+        "future_context_hops": int(rng.integers(0, 2)),
+        "mode_bands": (
+            None if rng.integers(0, 2) == 0
+            else tuple(tuple(b) for b in MODE_BANDS[: int(rng.integers(1, 6))])
+        ),
+        "operating_band": (
+            float(rng.uniform(300.0, 500.0)), float(rng.uniform(2500.0, 4000.0))
+        ),
+        "bp_order": int(rng.choice([2, 4])),
+        "envelope_smooth_ms": float(rng.uniform(1.0, 4.0)),
+        "peak_prominence_ratio": float(rng.uniform(0.15, 0.4)),
+        "peak_distance_ms": float(rng.uniform(2.0, 8.0)),
+        "min_crest_factor": float(rng.uniform(2.0, 4.0)),
+        "min_kurtosis": float(rng.uniform(2.5, 5.0)),
+    }
+    half = synth_clip("rain_heavy", rng, fs=FS, seconds=1.0)
+    rest = synth_clip("noise", rng, fs=FS, seconds=1.0)
+    clip = np.concatenate([rest[: FS // 2], half, rest[FS // 2 :]])
+
+    ref_mb = None if over["mode_bands"] is None else [
+        tuple(b) for b in over["mode_bands"]
+    ]
+    ref_det = ref_tdd.TimeDomainRainDetector(
+        ref_tdd.TimeDomainDetectorConfig(**{**over, "mode_bands": ref_mb})
+    )
+    got_det = TpuTimeDomainRainDetector(TpuTimeDomainDetectorConfig(**over))
+    ref_out = ref_det.process(clip, sr=FS)
+    got_out = got_det.process(clip, sr=FS)
+    np.testing.assert_array_equal(
+        np.asarray(got_out["confirmed_mask"], bool),
+        np.asarray(ref_out["confirmed_mask"], bool),
+        err_msg=f"confirmed_mask differs (draw {draw})",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_out["candidate_peaks"]),
+        np.asarray(ref_out["candidate_peaks"]),
+        err_msg=f"candidate_peaks differ (draw {draw})",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_out["confirmed_counts"]),
+        np.asarray(ref_out["confirmed_counts"]),
+        err_msg=f"confirmed_counts differ (draw {draw})",
     )
 
 
