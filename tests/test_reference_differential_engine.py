@@ -197,6 +197,72 @@ def test_spectral_engine_classifier_matches_reference(clip, variant):
         )
 
 
+@pytest.mark.parametrize("draw", range(4))
+def test_spectral_engine_classifier_matches_reference_fuzzed(draw):
+    """Seeded fuzz over the classifier decision thresholds + noise tracking.
+
+    The fixed variants above pin exact frame parity on three corners; each
+    draw here randomizes the flux thresholds, support voting, TD gate,
+    noise gating, quantile tracking, and SNR gating
+    (``rain_signal_processor.py:202-255`` + ``rain_frame_classifier.py``
+    dget surface) and runs a mixed rain+noise clip through both engines.
+    Thresholds land at random distances from the (2e-3-agreeing) flux
+    features, so single borderline frames may legitimately flip: the bound
+    is >=98% frame agreement plus the same tight float bounds as the fixed
+    variants.
+    """
+    rng = np.random.default_rng(3000 + draw)
+    det = dict(DET)
+    det.update({
+        "new_rain_primary_flux_min": float(rng.uniform(1.2, 2.5)),
+        "new_rain_mode12_flux_min": float(rng.uniform(2.0, 3.2)),
+        "new_rain_mode3_flux_min": float(rng.uniform(2.4, 3.6)),
+        "new_rain_min_support_count": int(rng.integers(1, 4)),
+        "td_gate_threshold": float(rng.uniform(2.0, 3.0)),
+        "mode_flux_noise_max": float(rng.uniform(1.0, 2.0)),
+        "noise_hi": float(rng.uniform(0.7, 0.9)),
+        "mode_flux_norm_win_sec": float(rng.uniform(0.3, 0.8)),
+        "mode_flux_norm_q": float(rng.uniform(0.2, 0.4)),
+    })
+    extra = {
+        "detector": det,
+        "q": float(rng.uniform(0.2, 0.4)),
+        "win_sec": float(rng.uniform(0.3, 0.8)),
+        "adaptive_q_enable": bool(rng.integers(0, 2)),
+        "snr_gating_enable": bool(rng.integers(0, 2)),
+        "pre_filter_mode": str(rng.choice(["highpass", "bandpass", "none"])),
+    }
+    half = synth_clip("rain_heavy", rng, fs=FS, seconds=1.0)
+    rest = synth_clip("noise", rng, fs=FS, seconds=1.0)
+    clip_mix = np.concatenate([rest[: FS // 2], half, rest[FS // 2 :]])
+
+    ref_out = _ref_engine(extra).process(clip_mix, FS)
+    got_out = _got_engine(extra).process(clip_mix)
+
+    ref_fc = np.asarray(ref_out["frame_class"], np.int32)
+    got_fc = np.asarray(got_out["frame_class"], np.int32)
+    assert got_fc.shape == ref_fc.shape
+    agreement = float(np.mean(got_fc == ref_fc))
+    assert agreement >= 0.98, (
+        f"frame agreement {agreement:.3f} < 0.98 (draw {draw})"
+    )
+    for key in ("rain_conf", "noise_conf"):
+        ref_v = np.asarray(ref_out[key], np.float64)
+        got_v = np.asarray(got_out[key], np.float64)
+        np.testing.assert_allclose(
+            got_v, ref_v, rtol=5e-3, atol=5e-3,
+            err_msg=f"{key} diverges from the reference engine (draw {draw})",
+        )
+    for key in ("primary_mode_flux", "mode_flux_score"):
+        ref_v = np.asarray(ref_out["det_debug"][key], np.float64)
+        got_v = np.asarray(got_out["det_debug"][key], np.float64)
+        scale = float(np.abs(ref_v).max()) + 1e-9
+        np.testing.assert_allclose(
+            got_v, ref_v, rtol=2e-3, atol=2e-3 * scale,
+            err_msg=f"det_debug[{key!r}] diverges (draw {draw})",
+        )
+
+
 def test_spectral_engine_suppressor_matches_reference(clip):
     extra = {"classifier_only_mode": False, "compute_output_audio": True,
              "return_spectra": True, "return_filtered_audio": True,
