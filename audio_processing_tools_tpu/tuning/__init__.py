@@ -11,6 +11,10 @@ from audio_processing_tools_tpu.tuning.grid_search import (
     grid_search_vmapped,
     roe_grid_search_vmapped,
     generate_param_combinations,
+    spectral_threshold_features,
+)
+from audio_processing_tools_tpu.tuning.gradient import (
+    gradient_tune_thresholds,
 )
 from audio_processing_tools_tpu.tuning.classification_algo import (
     python_classifier_wrapper,
@@ -29,6 +33,8 @@ __all__ = [
     "grid_search_vmapped",
     "roe_grid_search_vmapped",
     "generate_param_combinations",
+    "spectral_threshold_features",
+    "gradient_tune_thresholds",
     "python_classifier_wrapper",
     "c_classifier_wrapper",
     "grid_search_classification_wrapper",

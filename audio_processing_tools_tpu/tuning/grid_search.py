@@ -138,6 +138,41 @@ def grid_search_parallel(audio_df, custom_alg: Callable,
     print(f"Grid search completed in {time.time() - t0:.2f} seconds.")
 
 
+def spectral_threshold_features(clips: np.ndarray,
+                                base_params: Dict[str, Any] | None = None):
+    """Run the threshold-independent front-end once; return flux features.
+
+    Shared by :func:`grid_search_vmapped` and
+    :func:`audio_processing_tools_tpu.tuning.gradient.gradient_tune_thresholds`:
+    the expensive part (prefilter, STFT, PSD tracking, flux normalization)
+    does not depend on the decision thresholds, so both sweep styles reuse
+    one engine pass. Returns ``(feats, base)`` where ``feats`` holds
+    ``primary``/``s1``/``s2``/``s3``/``td_crest`` arrays of shape ``(B, T)``.
+    """
+    import jax.numpy as jnp
+
+    from audio_processing_tools_tpu.config import build_noise_config, DEFAULT_MODE_BANDS
+    from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
+
+    base = dict(base_params or {})
+    base.setdefault("detector", {"mode_bands": list(DEFAULT_MODE_BANDS)})
+    base.setdefault("classifier_only_mode", True)
+    base.setdefault("return_detector_debug", True)
+    sr = int(base.get("sample_rate", 11162))
+
+    eng = SpectralNoiseEngine(build_noise_config(sr, base))
+    out = eng.process_batch(np.asarray(clips, np.float32), sr=sr)
+    dd = out["det_debug"]
+    feats = {
+        "primary": jnp.asarray(dd["primary_mode_flux"]),
+        "s1": jnp.asarray(dd["support_mode_flux_1"]),
+        "s2": jnp.asarray(dd["support_mode_flux_2"]),
+        "s3": jnp.asarray(dd["support_mode_flux_3"]),
+        "td_crest": jnp.asarray(dd["td_crest_factor"]),
+    }
+    return feats, base
+
+
 def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
                         threshold_grid: Dict[str, list],
                         base_params: Dict[str, Any] | None = None
@@ -164,25 +199,7 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
     import jax
     import jax.numpy as jnp
 
-    from audio_processing_tools_tpu.config import build_noise_config, DEFAULT_MODE_BANDS
-    from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
-
-    base = dict(base_params or {})
-    base.setdefault("detector", {"mode_bands": list(DEFAULT_MODE_BANDS)})
-    base.setdefault("classifier_only_mode", True)
-    base.setdefault("return_detector_debug", True)
-    sr = int(base.get("sample_rate", 11162))
-
-    eng = SpectralNoiseEngine(build_noise_config(sr, base))
-    out = eng.process_batch(np.asarray(clips, np.float32), sr=sr)
-    dd = out["det_debug"]
-    feats = {
-        "primary": jnp.asarray(dd["primary_mode_flux"]),
-        "s1": jnp.asarray(dd["support_mode_flux_1"]),
-        "s2": jnp.asarray(dd["support_mode_flux_2"]),
-        "s3": jnp.asarray(dd["support_mode_flux_3"]),
-        "td_crest": jnp.asarray(dd["td_crest_factor"]),
-    }
+    feats, base = spectral_threshold_features(clips, base_params)
 
     combos = generate_param_combinations(threshold_grid)
     def get(c, k, d):

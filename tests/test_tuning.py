@@ -129,3 +129,37 @@ def test_roe_vmapped_sweep_matches_full_engine(rng):
                    and r["parameters"]["crest_thr"] == 3.75
                    and r["parameters"]["min_drop_count"] == 0.3)
     assert default["overall_accuracy"] >= 0.75
+
+
+def test_gradient_tuning_improves_detuned_config():
+    """gradient_tune_thresholds recovers a detuned config on the hard
+    corpus by SGD instead of grid enumeration (TPU-native addition over
+    the reference's grid_search.py; decision semantics pinned to
+    rain_frame_classifier.py:230-284 via the shared hard evaluator)."""
+    from audio_processing_tools_tpu.tuning.gradient import (
+        gradient_tune_thresholds,
+    )
+    from audio_processing_tools_tpu.utils.corpus import make_hard_corpus
+
+    clips, labels, kinds = make_hard_corpus(seed=17, per_class=8)
+    detuned = {"new_rain_primary_flux_min": 4.0}  # way too high
+
+    res = gradient_tune_thresholds(
+        clips, labels,
+        base_params={"sample_rate": FS, "clip_rain_min_frames": 3},
+        init=detuned, steps=250, lr=0.05,
+    )
+    assert res["init_accuracy"] < 0.7, res["init_accuracy"]
+    assert res["accuracy"] >= res["init_accuracy"] + 0.15, (
+        f"gradient tuning must clearly improve the detuned config: "
+        f"{res['init_accuracy']} -> {res['accuracy']} ({res['thresholds']})"
+    )
+    # the over-tight primary threshold must have been pulled down
+    assert res["thresholds"]["new_rain_primary_flux_min"] < 3.5
+    # surrogate history is recorded and finite (NOT monotone: the
+    # temperature anneal rescales the BCE as gates harden)
+    lh = res["loss_history"]
+    assert len(lh) == 250 and np.all(np.isfinite(lh))
+    # result dict is grid_search-compatible
+    assert set(res) >= {"parameters", "overall_accuracy",
+                        "tp_classifications", "fn_classifications"}
