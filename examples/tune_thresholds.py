@@ -62,6 +62,23 @@ def main() -> None:
     best = max(by_combo.values())
     print(f"\ndetuned accuracy {detuned:.3f} -> best tuned {best:.3f}")
     assert best >= detuned + 0.1, "sweep should beat the detuned config"
+
+    # --- gradient fit: all five continuous thresholds jointly, no grid ---
+    from audio_processing_tools_tpu.tuning.gradient import (
+        gradient_tune_thresholds,
+    )
+
+    res = gradient_tune_thresholds(
+        clips, labels,
+        base_params={"sample_rate": 11162, "clip_rain_min_frames": 3},
+        init={"new_rain_primary_flux_min": 4.0},
+    )
+    print("\ngradient fit (annealed soft relaxation + Adam, 300 steps):")
+    for k, v in res["thresholds"].items():
+        print(f"  {k:32s} {v:6.2f}")
+    print(f"detuned accuracy {res['init_accuracy']:.3f} "
+          f"-> gradient tuned {res['accuracy']:.3f}")
+    assert res["accuracy"] >= detuned + 0.1
     print("OK")
 
 
