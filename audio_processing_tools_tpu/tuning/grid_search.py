@@ -175,8 +175,8 @@ def spectral_threshold_features(clips: np.ndarray,
 
 def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
                         threshold_grid: Dict[str, list],
-                        base_params: Dict[str, Any] | None = None
-                        ) -> List[Dict[str, Any]]:
+                        base_params: Dict[str, Any] | None = None,
+                        mesh=None) -> List[Dict[str, Any]]:
     """Device-vectorized sweep of the spectral detector's decision thresholds.
 
     For grids over *decision thresholds only* (the expensive front-end —
@@ -194,6 +194,12 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
     front-end compile per structural setting) or use :func:`grid_search` /
     :func:`grid_search_parallel`, which recompile per combo.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` (e.g.
+    :func:`audio_processing_tools_tpu.parallel.make_mesh`).  When given, the
+    combo axis is sharded over the mesh's first axis (features replicate;
+    combos are independent, so the sweep scales linearly over chips with no
+    collectives — padded to a device multiple, pad rows dropped).
+
     Returns one result dict (accuracy + confusion counts) per combo.
     """
     import jax
@@ -202,17 +208,25 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
     feats, base = spectral_threshold_features(clips, base_params)
 
     combos = generate_param_combinations(threshold_grid)
+    n_combos = len(combos)
+
+    pad = 0
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad = (-n_combos) % n_dev
+    combos_p = combos + [combos[-1]] * pad if combos else combos
+
     def get(c, k, d):
         return float(c.get(k, base.get(k, d)))
 
-    arr = lambda k, d: jnp.asarray([get(c, k, d) for c in combos])
+    arr = lambda k, d: jnp.asarray([get(c, k, d) for c in combos_p])
     p_min = arr("new_rain_primary_flux_min", 1.8)
     m1 = arr("new_rain_mode1_flux_min", 2.6)
     m2 = arr("new_rain_mode2_flux_min", 2.6)
     m3 = arr("new_rain_mode3_flux_min", 3.0)
-    msc = jnp.asarray([int(get(c, "new_rain_min_support_count", 2)) for c in combos])
+    msc = jnp.asarray([int(get(c, "new_rain_min_support_count", 2)) for c in combos_p])
     tdg = arr("td_gate_threshold", 2.5)
-    cmin = jnp.asarray([max(1, int(get(c, "clip_rain_min_frames", 1))) for c in combos])
+    cmin = jnp.asarray([max(1, int(get(c, "clip_rain_min_frames", 1))) for c in combos_p])
 
     def eval_combo(pm, m1v, m2v, m3v, mscv, tdgv, cminv):
         gate = (feats["td_crest"] > tdgv).astype(jnp.float32)
@@ -226,8 +240,16 @@ def grid_search_vmapped(clips: np.ndarray, labels: np.ndarray,
         counts = jnp.sum(is_rain, axis=-1)
         return counts >= cminv  # (B,) predicted
 
-    predicted = jax.jit(jax.vmap(eval_combo))(p_min, m1, m2, m3, msc, tdg, cmin)
-    predicted = np.asarray(predicted)  # (n_combos, B)
+    combo_args = (p_min, m1, m2, m3, msc, tdg, cmin)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis0 = list(mesh.shape)[0]
+        sh = NamedSharding(mesh, P(axis0))
+        combo_args = tuple(jax.device_put(a, sh) for a in combo_args)
+
+    predicted = jax.jit(jax.vmap(eval_combo))(*combo_args)
+    predicted = np.asarray(predicted)[:n_combos]  # (n_combos, B)
     labels = np.asarray(labels, bool)
 
     results = []

@@ -157,3 +157,45 @@ def test_sharded_pipeline_rejects_unknown_model():
 
     with pytest.raises(ValueError, match="unknown model"):
         ShardedRainPipeline({"sample_rate": 11162}, make_mesh(2), model="bogus")
+
+
+def test_grid_search_vmapped_sharded_matches_unsharded(rng):
+    """Combo-axis sharding over the mesh returns identical results to the
+    single-device sweep, including when the combo count is not a device
+    multiple (pad rows dropped)."""
+    from audio_processing_tools_tpu.tuning.grid_search import (
+        grid_search_vmapped,
+    )
+
+    n = FS * 2
+    def rain(seed):
+        r = np.random.default_rng(seed)
+        x = 0.005 * r.standard_normal(n)
+        for t0 in r.integers(FS // 4, n - 2000, 20):
+            k = np.arange(800)
+            ping = sum(a * np.sin(2 * np.pi * f * k / FS)
+                       for f, a in [(520, 1), (900, 0.5), (1600, 0.35),
+                                    (2450, 0.25)])
+            x[t0 : t0 + 800] += 0.5 * np.exp(-k / 60.0) * ping
+        return x.astype(np.float32)
+
+    clips = np.stack([rain(1), rain(2),
+                      (0.02 * rng.standard_normal(n)).astype(np.float32),
+                      (0.01 * rng.standard_normal(n)).astype(np.float32)])
+    labels = np.array([True, True, False, False])
+    grid = {
+        "new_rain_primary_flux_min": [1.2, 1.8, 2.6, 4.0, 6.0],  # 5 combos
+        "clip_rain_min_frames": [3, 5],                          # x2 = 10
+    }  # 10 % 8 != 0 -> exercises padding
+
+    base = {"sample_rate": FS}
+    plain = grid_search_vmapped(clips, labels, grid, base_params=base)
+    sharded = grid_search_vmapped(clips, labels, grid, base_params=base,
+                                  mesh=make_mesh(8))
+    assert len(plain) == len(sharded) == 10
+    for a, b in zip(plain, sharded):
+        assert a["parameters"] == b["parameters"]
+        assert a["overall_accuracy"] == b["overall_accuracy"]
+        for key in ("tp_classifications", "tn_classifications",
+                    "fp_classifications", "fn_classifications"):
+            assert a[key] == b[key], (a["parameters"], key)
