@@ -1,0 +1,230 @@
+"""Live detection server: stream PCM in, JSON detections out.
+
+Production-serving front door for the streaming detector: a socket server
+that accepts length-prefixed int16 PCM packets from a live feed and answers
+each with one JSON line of causal detection results, threading
+:class:`~audio_processing_tools_tpu.models.streaming.StreamingRainDetector`
+state across packets (no lookahead — the reference firmware's causality
+contract, ``edge/rain_frame_classifier.py``; chunk-size invariance is
+pinned bit-exactly in ``tests/test_streaming.py``).
+
+The reference has no serving surface (its closest analogue is the m3cli
+device-in-loop flow, ``edge/parameter_tuning/call_c_fun.py``); this is a
+framework addition for deployments where recordings arrive as a stream
+rather than as S3 MARK files.
+
+Wire protocol (one TCP or Unix-domain connection per stream)
+-----------------------------------------------------------
+request  := b"APT1" + uint32le(n_bytes) + n_bytes of int16-LE PCM
+eos      := b"APT0" + uint32le(0)
+response := one JSON line per request (and a final summary line for eos)
+
+Samples may arrive in any quantity; the server buffers to the detector's
+hop boundary and carries the remainder, so packetization never changes
+results. Each connection gets fresh stream state; the jitted chunk
+programs are shared and guarded by a lock.
+
+Run: ``python -m audio_processing_tools_tpu.cli.serve --port 8765``
+(or ``--unix /tmp/apt.sock``; ``--params params.json`` for detector
+config). ``--port 0`` picks an ephemeral port and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import socketserver
+import struct
+import sys
+import threading
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+MAGIC_DATA = b"APT1"
+MAGIC_EOS = b"APT0"
+_HDR = struct.Struct("<4sI")
+MAX_PACKET_BYTES = 64 << 20
+
+INT16_SCALE = 32767.0
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        piece = sock.recv(n - len(buf))
+        if not piece:
+            return None
+        buf += piece
+    return buf
+
+
+class _DetectorService:
+    """One process-wide detector; per-connection stream state."""
+
+    def __init__(self, params: Dict[str, Any]):
+        from audio_processing_tools_tpu.models.streaming import (
+            StreamingRainDetector,
+        )
+
+        self.det = StreamingRainDetector()
+        self.det.setup(dict(params))
+        self.hop = int(self.det.cfg.hop)
+        self.min_event_frames = max(
+            1, int(params.get("clip_rain_min_frames", 3))
+        )
+        self.lock = threading.Lock()
+
+    def new_state(self):
+        with self.lock:
+            return self.det.init_state()
+
+    def process(self, state, samples: np.ndarray):
+        with self.lock:
+            return self.det.process_chunk(state, samples)
+
+
+class _StreamHandler(socketserver.BaseRequestHandler):
+    """One live stream per connection."""
+
+    def handle(self) -> None:  # noqa: C901 - linear protocol loop
+        import jax
+
+        svc: _DetectorService = self.server.svc  # type: ignore[attr-defined]
+        state = svc.new_state()
+        pending = np.zeros(0, np.float32)
+        chunk_idx = 0
+        total_frames = 0
+        total_rain = 0
+
+        while True:
+            hdr = _recv_exact(self.request, _HDR.size)
+            if hdr is None:
+                return  # client vanished mid-stream
+            magic, n_bytes = _HDR.unpack(hdr)
+            if magic not in (MAGIC_DATA, MAGIC_EOS) or (
+                n_bytes > MAX_PACKET_BYTES
+            ):
+                self._send({"error": "bad packet header"})
+                return
+            if magic == MAGIC_EOS:
+                self._send({
+                    "eos": True,
+                    "chunks": chunk_idx,
+                    "frames": total_frames,
+                    "rain_frames": total_rain,
+                    "stream_is_rain": total_rain >= svc.min_event_frames,
+                    "dropped_tail_samples": int(pending.size),
+                })
+                return
+            payload = _recv_exact(self.request, n_bytes)
+            if payload is None:
+                return
+            pcm = np.frombuffer(payload, "<i2").astype(np.float32)
+            pcm /= INT16_SCALE
+            pending = np.concatenate([pending, pcm])
+
+            usable = pending.size // svc.hop * svc.hop
+            if usable == 0:
+                self._send({
+                    "chunk": chunk_idx, "frames": 0, "rain_frames": 0,
+                    "buffered_samples": int(pending.size),
+                })
+                chunk_idx += 1
+                continue
+            piece, pending = pending[:usable], pending[usable:]
+            state, out = svc.process(state, piece)
+            out = jax.tree_util.tree_map(np.asarray, out)
+
+            from audio_processing_tools_tpu.models.frame_classifier import (
+                FrameClass,
+            )
+
+            fc = out["frame_class"]
+            rain = int(np.sum(fc == int(FrameClass.RAIN)))
+            total_frames += int(fc.size)
+            total_rain += rain
+            self._send({
+                "chunk": chunk_idx,
+                "frames": int(fc.size),
+                "rain_frames": rain,
+                "rain_conf_mean": float(np.mean(out["rain_conf"])),
+                "stream_rain_frames": total_rain,
+                "event": total_rain >= svc.min_event_frames,
+                "buffered_samples": int(pending.size),
+            })
+            chunk_idx += 1
+
+    def _send(self, obj: Dict[str, Any]) -> None:
+        self.request.sendall(json.dumps(obj).encode() + b"\n")
+
+
+class _TcpServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class _UnixServer(socketserver.ThreadingUnixStreamServer):
+    daemon_threads = True
+
+
+def make_server(params: Dict[str, Any], *, host: str = "127.0.0.1",
+                port: int = 0, unix_path: Optional[str] = None):
+    """Build (not start) a server; ``.server_address`` has the bound port."""
+    svc = _DetectorService(params)
+    if unix_path:
+        srv = _UnixServer(unix_path, _StreamHandler)
+    else:
+        srv = _TcpServer((host, port), _StreamHandler)
+    srv.svc = svc  # type: ignore[attr-defined]
+    return srv
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Live rain-detection server (length-prefixed int16 PCM "
+                    "in, JSON lines out)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765,
+                    help="TCP port (0 = ephemeral; printed on start)")
+    ap.add_argument("--unix", default=None, metavar="PATH",
+                    help="serve on a Unix-domain socket instead of TCP")
+    ap.add_argument("--sample-rate", type=int, default=11162)
+    ap.add_argument("--params", default=None,
+                    help="JSON file of engine params (merged over defaults)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (jax.config)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+
+    params: Dict[str, Any] = {
+        "sample_rate": args.sample_rate,
+        "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+    }
+    if args.params:
+        with open(args.params) as f:
+            params.update(json.load(f))
+
+    srv = make_server(params, host=args.host, port=args.port,
+                      unix_path=args.unix)
+    where = args.unix or "%s:%d" % srv.server_address[:2]
+    print(f"serving live rain detection on {where} "
+          f"(sample_rate={params['sample_rate']})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Live detection server: protocol, state threading, packetization.
+
+Drives ``cli/serve.py`` over a real loopback socket: a client streams a
+quiet-then-rain recording in odd-sized packets (NOT hop multiples — the
+server must buffer to hop boundaries), and the responses must agree with
+the offline StreamingRainDetector on the same signal.
+"""
+
+import json
+import socket
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from audio_processing_tools_tpu.cli.serve import (
+    MAGIC_DATA,
+    MAGIC_EOS,
+    make_server,
+)
+from audio_processing_tools_tpu.config import DEFAULT_MODE_BANDS
+from audio_processing_tools_tpu.models.frame_classifier import FrameClass
+from audio_processing_tools_tpu.models.streaming import StreamingRainDetector
+from audio_processing_tools_tpu.utils.corpus import synth_clip
+
+FS = 11162
+PARAMS = {
+    "sample_rate": FS,
+    "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+    "clip_rain_min_frames": 3,
+}
+_HDR = struct.Struct("<4sI")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server(PARAMS, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def stream_i16():
+    rng = np.random.default_rng(7)
+    quiet = synth_clip("noise", rng, fs=FS, seconds=2.0)
+    rainy = synth_clip("rain_heavy", rng, fs=FS, seconds=2.0)
+    x = np.concatenate([quiet, rainy])
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
+def _lines(sock_file, n):
+    return [json.loads(sock_file.readline()) for _ in range(n)]
+
+
+def _stream(addr, pcm_i16, packet_samples):
+    """Send pcm in fixed-size packets; return (per-packet replies, summary)."""
+    with socket.create_connection(addr, timeout=120) as s:
+        f = s.makefile("rb")
+        replies = []
+        for start in range(0, len(pcm_i16), packet_samples):
+            chunk = pcm_i16[start : start + packet_samples].tobytes()
+            s.sendall(_HDR.pack(MAGIC_DATA, len(chunk)) + chunk)
+            replies.extend(_lines(f, 1))
+        s.sendall(_HDR.pack(MAGIC_EOS, 0))
+        summary = _lines(f, 1)[0]
+    return replies, summary
+
+
+def _offline_counts(pcm_i16):
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    x = pcm_i16.astype(np.float32) / 32767.0
+    out = det.process_stream(x, chunk_sec=1.0)
+    fc = np.asarray(out["frame_class"])
+    return int(fc.size), int(np.sum(fc == int(FrameClass.RAIN)))
+
+
+def test_serve_detects_rain_and_matches_offline(server, stream_i16):
+    # 1000 samples/packet: deliberately NOT a hop multiple
+    replies, summary = _stream(server, stream_i16, packet_samples=1000)
+    assert summary["eos"] is True
+    frames_off, rain_off = _offline_counts(stream_i16)
+    assert summary["frames"] == frames_off
+    assert summary["rain_frames"] == rain_off
+    assert summary["rain_frames"] > 0 and summary["stream_is_rain"] is True
+    # rain must be reported DURING the stream, in the rainy half
+    eventful = [r for r in replies if r.get("event")]
+    assert eventful, "no packet ever reported a sustained event"
+    # buffering: tail remainder smaller than one hop
+    assert summary["dropped_tail_samples"] < 128
+
+
+def test_serve_packetization_invariant(server, stream_i16):
+    """Same audio, very different packet sizes -> identical totals."""
+    _, s_small = _stream(server, stream_i16, packet_samples=700)
+    _, s_large = _stream(server, stream_i16, packet_samples=50000)
+    assert s_small["rain_frames"] == s_large["rain_frames"]
+    assert s_small["frames"] == s_large["frames"]
+
+
+def test_serve_connections_are_independent(server, stream_i16):
+    """A noise-only stream right after a rain stream must not inherit
+    state: its counts must equal a FRESH-state offline run of the same
+    clip (which may include a benign warmup transient frame)."""
+    rng = np.random.default_rng(11)
+    quiet = synth_clip("noise", rng, fs=FS, seconds=2.0)
+    quiet_i16 = np.clip(quiet * 32767.0, -32768, 32767).astype("<i2")
+    _stream(server, stream_i16, packet_samples=4096)
+    _, summary = _stream(server, quiet_i16, packet_samples=4096)
+    frames_off, rain_off = _offline_counts(quiet_i16)
+    assert summary["frames"] == frames_off
+    assert summary["rain_frames"] == rain_off
+    assert summary["stream_is_rain"] is False
+
+
+def test_serve_rejects_bad_magic(server):
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(b"XXXX" + struct.pack("<I", 4) + b"\0\0\0\0")
+        f = s.makefile("rb")
+        reply = json.loads(f.readline())
+        assert "error" in reply
