@@ -15,6 +15,7 @@ from audio_processing_tools_tpu.tuning.grid_search import (
 )
 from audio_processing_tools_tpu.tuning.gradient import (
     gradient_tune_thresholds,
+    roe_gradient_tune_thresholds,
 )
 from audio_processing_tools_tpu.tuning.classification_algo import (
     python_classifier_wrapper,
@@ -35,6 +36,7 @@ __all__ = [
     "generate_param_combinations",
     "spectral_threshold_features",
     "gradient_tune_thresholds",
+    "roe_gradient_tune_thresholds",
     "python_classifier_wrapper",
     "c_classifier_wrapper",
     "grid_search_classification_wrapper",

@@ -203,3 +203,200 @@ def gradient_tune_thresholds(
         "parameters": tuned,
         "loss_history": np.asarray(losses),
     }
+
+
+# ---------------------------------------------------------------------------
+# legacy RoE engine
+# ---------------------------------------------------------------------------
+
+ROE_TUNABLE_SCALARS = (
+    "kurtosis_thr", "crest_thr", "diff_energy_thr", "min_drop_count",
+)
+
+_ROE_DEFAULTS = {
+    "harmonic_threshold": (4.5, 4.0, 3.5, 3.5, 3.5, 3.5),
+    "kurtosis_thr": 2.5,
+    "crest_thr": 3.75,
+    "diff_energy_thr": 6.5,
+    "min_drop_count": 0.3,
+}
+
+
+def roe_gradient_tune_thresholds(
+    clips: np.ndarray,
+    labels: np.ndarray,
+    base_params: Dict[str, Any] | None = None,
+    *,
+    init: Dict[str, Any] | None = None,
+    steps: int = 300,
+    lr: float = 0.05,
+    tau: tuple = (0.25, 24.0),
+    anchor_weight: float = 1e-3,
+) -> Dict[str, Any]:
+    """Adam fit of the RoE classifier's continuous thresholds.
+
+    Same recipe as :func:`gradient_tune_thresholds`, applied to the legacy
+    harmonic-novelty engine (``dsp_rain_detection.py`` semantics via
+    ``models/roe.py``): the threshold-independent front-end
+    (``roe_sweep_features``) runs once; the decision tail — per-harmonic
+    novelty gates, base-harmonic gating, frame count vs
+    ``min_drop_count x duration``, and the kurtosis/crest/diff-energy peak
+    triple — is relaxed with annealed sigmoids (soft-OR / soft-AND for the
+    combiners). Tunes the 6-vector ``harmonic_threshold`` plus
+    ``kurtosis_thr`` / ``crest_thr`` / ``diff_energy_thr`` /
+    ``min_drop_count``; the FP/FN combiner bounds stay fixed (integer-like
+    guards, poorly conditioned under relaxation). Reported accuracy always
+    comes from the exact hard rule (``roe_apply_thresholds``).
+
+    The anneal starts much cooler than the spectral tuner's (0.25 vs 2.0):
+    RoE margins are *counts* (drop/peak counts vs bounds like 9 or 50), an
+    order of magnitude larger than log-flux margins, and a warm start
+    saturates the combiner sigmoids into zero-gradient territory.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audio_processing_tools_tpu.models.roe import (
+        roe_apply_thresholds,
+        roe_sweep_features,
+    )
+
+    base = dict(base_params or {})
+    feats = roe_sweep_features(np.asarray(clips, np.float32), **base)
+    cfg = feats["cfg"]
+    labels_b = np.asarray(labels, bool)
+    y = jnp.asarray(labels_b, jnp.float32)
+
+    init = dict(init or {})
+    harm0 = np.asarray(
+        init.get("harmonic_threshold", _ROE_DEFAULTS["harmonic_threshold"]),
+        np.float32,
+    )
+    sc0 = np.asarray(
+        [float(init.get(k, _ROE_DEFAULTS[k])) for k in ROE_TUNABLE_SCALARS],
+        np.float32,
+    )
+    theta0 = jnp.asarray(np.concatenate([harm0, sc0]))
+
+    nov1 = feats["nov1"]                      # (B, n_harm, T)
+    valid = 1.0 - feats["nopeak"].astype(jnp.float32)
+    kurt = feats["kurtosis"]
+    crest = feats["crest_factor"]
+    diffE = feats["diff_energy"]
+    duration = float(cfg.check_duration)
+    fixed = {
+        "rain_drop_min_thr": float(base.get("rain_drop_min_thr", 3)),
+        "rain_drop_max_thr": float(base.get("rain_drop_max_thr", 50)),
+        "rain_peaks_min_thr": float(base.get("rain_peaks_min_thr", 9)),
+        "rain_peaks_max_thr": float(base.get("rain_peaks_max_thr", 30)),
+    }
+    tau0, tau1 = float(tau[0]), float(tau[1])
+    n_steps = int(steps)
+
+    def soft_or(a, b):
+        return a + b - a * b
+
+    def soft_forward(theta, temp):
+        thr6 = theta[:6]
+        kt, ct, dt, mdc = (theta[6 + i] for i in range(4))
+        thr_b = thr6[None, :, None]
+        # per-harmonic novelty gate; magnitude clamp matters only through
+        # the nov_hn comparison, so carry min(nov, 1.5 thr) as the value
+        m = jax.nn.sigmoid(temp * (nov1 - thr_b)) * valid
+        v = jnp.minimum(nov1, 1.5 * thr_b) * m
+        sb = m[:, 0, :]                        # soft base-harmonic presence
+        nov_hn = v[:, 0, :] + jnp.sum(v[:, 1:, :], axis=1) * sb
+        thr_hn = thr6[0] + thr6[1] + thr6[2]
+        p_frame = jax.nn.sigmoid(temp * (nov_hn - thr_hn))
+        rdc = jnp.sum(p_frame, axis=-1)        # soft drop count (B,)
+
+        p_peak = (
+            jax.nn.sigmoid(temp * (kurt - kt))
+            * jax.nn.sigmoid(temp * (crest - ct))
+            * jax.nn.sigmoid(temp * (diffE - dt))
+        )
+        rpc = jnp.sum(p_peak, axis=-1)         # soft peak count (B,)
+
+        rd_thr = mdc * duration
+        raining = jax.nn.sigmoid(temp * (rdc - rd_thr))
+        if cfg.handle_fn:
+            promote = soft_or(
+                jax.nn.sigmoid(temp * (rdc - fixed["rain_drop_max_thr"])),
+                jax.nn.sigmoid(temp * (rpc - fixed["rain_peaks_max_thr"])),
+            )
+            raining = soft_or(raining, promote)
+        if cfg.handle_fp:
+            demote = soft_or(
+                jax.nn.sigmoid(temp * (fixed["rain_peaks_min_thr"] - rpc)),
+                jax.nn.sigmoid(temp * (rd_thr - rdc)),
+            )
+            raining = raining * (1.0 - demote)
+        return raining                          # (B,) rain probability
+
+    def loss_fn(theta, temp):
+        # affine squash, NOT clip: a deeply-detuned start saturates p at
+        # 0/1 and clip() would zero every gradient, freezing the tuner
+        p = 1e-6 + (1.0 - 2e-6) * soft_forward(theta, temp)
+        bce = -jnp.mean(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
+        anchor = anchor_weight * jnp.sum((theta - theta0) ** 2)
+        return bce + anchor
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def fit(theta_init):
+        state0 = opt.init(theta_init)
+
+        def step(carry, i):
+            theta, opt_state = carry
+            frac = i.astype(jnp.float32) / max(n_steps - 1, 1)
+            temp = tau0 * (tau1 / tau0) ** frac
+            loss, grads = jax.value_and_grad(loss_fn)(theta, temp)
+            updates, opt_state = opt.update(grads, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), loss
+
+        (theta, _), losses = jax.lax.scan(
+            step, (theta_init, state0), jnp.arange(n_steps)
+        )
+        return theta, losses
+
+    theta, losses = fit(theta0)
+    theta_np = np.asarray(theta)
+    tuned: Dict[str, Any] = {
+        "harmonic_threshold": [float(v) for v in theta_np[:6]],
+    }
+    tuned.update({
+        k: float(theta_np[6 + i]) for i, k in enumerate(ROE_TUNABLE_SCALARS)
+    })
+
+    def hard_acc(thr: Dict[str, Any]):
+        mod = np.asarray(roe_apply_thresholds(
+            feats,
+            harmonic_threshold=thr["harmonic_threshold"],
+            kurtosis_thr=thr["kurtosis_thr"], crest_thr=thr["crest_thr"],
+            diff_energy_thr=thr["diff_energy_thr"],
+            min_drop_count=thr["min_drop_count"], **fixed,
+        ))
+        return mod > 0
+
+    init_thr = {"harmonic_threshold": [float(v) for v in harm0]}
+    init_thr.update(
+        {k: float(sc0[i]) for i, k in enumerate(ROE_TUNABLE_SCALARS)}
+    )
+    pred = hard_acc(tuned)
+    pred0 = hard_acc(init_thr)
+    acc = float(np.mean(pred == labels_b))
+    return {
+        "thresholds": tuned,
+        "accuracy": acc,
+        "init_accuracy": float(np.mean(pred0 == labels_b)),
+        "tp_classifications": np.flatnonzero(pred & labels_b).tolist(),
+        "tn_classifications": np.flatnonzero(~pred & ~labels_b).tolist(),
+        "fp_classifications": np.flatnonzero(pred & ~labels_b).tolist(),
+        "fn_classifications": np.flatnonzero(~pred & labels_b).tolist(),
+        "overall_accuracy": acc,
+        "parameters": tuned,
+        "loss_history": np.asarray(losses),
+    }

@@ -163,3 +163,50 @@ def test_gradient_tuning_improves_detuned_config():
     # result dict is grid_search-compatible
     assert set(res) >= {"parameters", "overall_accuracy",
                         "tp_classifications", "fn_classifications"}
+
+
+def test_roe_gradient_tuning_improves_detuned_config():
+    """roe_gradient_tune_thresholds recovers a detuned RoE config: the
+    soft-relaxed harmonic/peak decision tail (models/roe.py:610-665)
+    trains by Adam, scored with the exact hard rule."""
+    from audio_processing_tools_tpu.tuning.gradient import (
+        roe_gradient_tune_thresholds,
+    )
+
+    rng = np.random.default_rng(9)
+    n = FS * 4
+
+    def harmonic_rain(drops, fn=520.0):
+        x = 0.003 * rng.standard_normal(n)
+        k = np.arange(1000)
+        ping = sum((1.0 / h) * np.sin(2 * np.pi * fn * h * k / FS)
+                   for h in range(1, 6))
+        for t0 in rng.integers(0, n - 1200, drops):
+            x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+        return x
+
+    clips = np.stack([
+        harmonic_rain(40), harmonic_rain(15), harmonic_rain(25),
+        0.02 * rng.standard_normal(n), 0.004 * rng.standard_normal(n),
+        0.01 * rng.standard_normal(n),
+    ]).astype(np.float32)
+    labels = np.array([True, True, True, False, False, False])
+
+    # strict on BOTH decision paths (the FN combiner otherwise rescues
+    # heavy rain through the peak count): misses nearly all rain
+    detuned = {"harmonic_threshold": [9.0, 8.0, 7.0, 7.0, 7.0, 7.0],
+               "min_drop_count": 2.0, "kurtosis_thr": 8.0,
+               "crest_thr": 8.0, "diff_energy_thr": 20.0}
+    res = roe_gradient_tune_thresholds(
+        clips, labels,
+        base_params={"sample_rate": FS, "check_duration": 4},
+        init=detuned, steps=250, lr=0.08,
+    )
+    assert res["init_accuracy"] <= 0.5, res["init_accuracy"]
+    assert res["accuracy"] >= res["init_accuracy"] + 0.3, (
+        f"RoE gradient tuning must clearly improve: "
+        f"{res['init_accuracy']} -> {res['accuracy']} ({res['thresholds']})"
+    )
+    # strictness must have been relaxed toward detections
+    assert res["thresholds"]["min_drop_count"] < 2.0
+    assert len(res["thresholds"]["harmonic_threshold"]) == 6
