@@ -194,6 +194,53 @@ def test_dsd_device_path_matches_reference_emulator(rng):
         np.testing.assert_array_equal(np.asarray(g), r, err_msg=f"minute {m}")
 
 
+@pytest.mark.parametrize("draw", range(3))
+def test_dsd_duty_cycle_pattern_fuzz_matches_reference(draw):
+    """Seeded fuzz over rain-minute PATTERNS: duty cycling's skip/resume
+    decisions depend on each minute's own output, so random on/off
+    patterns walk different branches of the firmware schedule
+    (``device_dsd_processing_emulator.py:256-314``). Bit-parity of both
+    the emulator twin and the device path vs the actual reference."""
+    from audio_processing_tools_tpu.host_analysis.dsd_device import (
+        dsd_minutes_device_duty_cycled,
+    )
+    from audio_processing_tools_tpu.host_analysis.dsd_emulator import (
+        DsdProcessingEmulator,
+    )
+
+    prng = np.random.default_rng(500 + draw)
+    minutes = 4
+    # half-minute tail: the emulator only emits COMPLETED minutes
+    n = FS * 60 * minutes + FS * 30
+    x = 0.0005 * prng.standard_normal(n)
+    rain_minutes = [m for m in range(minutes) if prng.integers(0, 2)]
+    k = np.arange(800)
+    ping = np.exp(-k / 60.0) * sum(
+        a * np.sin(2 * np.pi * f * k / FS)
+        for f, a in [(520, 1.0), (900, 0.5)]
+    )
+    for m in rain_minutes:
+        lo, hi = m * FS * 60, (m + 1) * FS * 60 - 1000
+        for t0 in prng.integers(lo, hi, 25):
+            x[t0 : t0 + 800] += 0.5 * ping
+    x = np.clip(x, -1, 1)
+
+    ref = ref_emu.DsdProcessingEmualtor(FS, 512, 512, False, 0)
+    ref_out = ref.process_audio_data(x.astype(np.float64), 0)
+    twin_out = DsdProcessingEmulator(FS, 512, 512, False, 0)\
+        .process_audio_data(x.astype(np.float64), 0)
+    dev_out = dsd_minutes_device_duty_cycled(x.astype(np.float32), FS, 512)
+    assert len(ref_out) == len(twin_out) == len(dev_out) >= minutes
+    for m, (r, t, d) in enumerate(zip(ref_out, twin_out, dev_out)):
+        np.testing.assert_array_equal(
+            t, r, err_msg=f"twin minute {m} (draw {draw}, rain {rain_minutes})"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d), r,
+            err_msg=f"device minute {m} (draw {draw}, rain {rain_minutes})",
+        )
+
+
 # ---------------------------------------------------------------------------
 # processors.py adapter semantics
 # ---------------------------------------------------------------------------
