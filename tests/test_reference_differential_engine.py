@@ -298,6 +298,53 @@ def test_spectral_engine_suppressor_matches_reference(clip):
     )
 
 
+@pytest.mark.parametrize("draw", range(3))
+def test_spectral_engine_suppressor_matches_reference_fuzzed(draw):
+    """Seeded fuzz over the suppressor's gain-shaping space: gain mode,
+    oversubtraction, floor/ceil, temporal + frequency smoothing, SNR
+    gating (``rain_signal_processor.py:400-533``). Same spectra/audio
+    bounds as the fixed-config suppressor test."""
+    rng = np.random.default_rng(4000 + draw)
+    of = float(rng.uniform(0.0, 0.3))
+    extra = {
+        "classifier_only_mode": False, "compute_output_audio": True,
+        "return_spectra": True,
+        "gain_mode": str(rng.choice(["sqrt_sub", "wiener"])),
+        "oversub_base": float(rng.uniform(1.0, 2.0)),
+        "oversub_max": float(rng.uniform(2.0, 4.0)),
+        "gain_floor": of,
+        "gain_ceil": float(rng.uniform(max(of + 0.1, 0.8), 1.0)),
+        "gain_smooth_alpha": float(rng.uniform(0.4, 0.9)),
+        "gain_freq_smooth_enable": bool(rng.integers(0, 2)),
+        "adaptive_gain_enable": bool(rng.integers(0, 2)),
+        "snr_gating_enable": bool(rng.integers(0, 2)),
+        "ema_up": float(rng.uniform(0.4, 0.8)),
+        "ema_down": float(rng.uniform(0.85, 0.99)),
+    }
+    half = synth_clip("rain_heavy", rng, fs=FS, seconds=1.0)
+    rest = synth_clip("noise", rng, fs=FS, seconds=1.0)
+    clip_mix = np.concatenate([rest[: FS // 2], half, rest[FS // 2 :]])
+
+    ref_out = _ref_engine(extra).process(clip_mix, FS)
+    got_out = _got_engine(extra).process(clip_mix)
+
+    ref_S = np.asarray(ref_out["S"])
+    scale_S = float(np.abs(ref_S).max()) + 1e-12
+    ref_Sh = np.abs(np.asarray(ref_out["S_hat"]))
+    got_Sh = np.abs(np.asarray(got_out["S_hat"]))
+    np.testing.assert_allclose(
+        got_Sh, ref_Sh, atol=2e-2 * scale_S,
+        err_msg=f"suppressed spectrogram diverges (draw {draw}: {extra})",
+    )
+    ref_y = np.asarray(ref_out["y"], np.float64)
+    got_y = np.asarray(got_out["y"], np.float64)
+    scale_y = float(np.abs(ref_y).max()) + 1e-12
+    np.testing.assert_allclose(
+        got_y, ref_y, atol=5e-2 * scale_y,
+        err_msg=f"output audio diverges (draw {draw}: {extra})",
+    )
+
+
 # ---------------------------------------------------------------------------
 # legacy RoE pipeline (dsp_rain_detection.py:2566-2575 entry)
 # ---------------------------------------------------------------------------
