@@ -181,6 +181,51 @@ def make_server(params: Dict[str, Any], *, host: str = "127.0.0.1",
     return srv
 
 
+def _load_audio_float(path: str) -> np.ndarray:
+    """WAV / MARK container / raw ``.f32``/``.i16`` -> mono float32 [-1,1]."""
+    low = path.lower()
+    if low.endswith(".wav"):
+        from audio_processing_tools_tpu.io.audio import load_wav
+
+        y, _sr = load_wav(path)
+        return y[0] if y.ndim > 1 else y
+    if low.endswith(".f32"):
+        return np.fromfile(path, np.float32)
+    if low.endswith(".i16"):
+        return np.fromfile(path, "<i2").astype(np.float32) / INT16_SCALE
+    from audio_processing_tools_tpu.io.mark import parse_mark_audio_file
+
+    with open(path, "rb") as f:
+        sig, _meta = parse_mark_audio_file(f.read())
+    return np.asarray(sig, np.float32) / 32768.0
+
+
+def stream_file(path: str, *, host: str = "127.0.0.1", port: int = 8765,
+                unix_path: Optional[str] = None, packet_samples: int = 8192,
+                sample_rate: int = 11162):
+    """Client helper: stream an audio file to a running server.
+
+    Accepts a WAV, a MARK container, or raw ``.f32``/``.i16`` PCM; yields
+    the server's JSON replies (the last one is the stream summary).
+    """
+    x = _load_audio_float(path)
+    pcm = np.clip(np.asarray(x, np.float32) * INT16_SCALE,
+                  -32768, 32767).astype("<i2")
+    if unix_path:
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.connect(unix_path)
+    else:
+        sock = socket.create_connection((host, port), timeout=600)
+    with sock:
+        f = sock.makefile("rb")
+        for start in range(0, len(pcm), packet_samples):
+            chunk = pcm[start : start + packet_samples].tobytes()
+            sock.sendall(_HDR.pack(MAGIC_DATA, len(chunk)) + chunk)
+            yield json.loads(f.readline())
+        sock.sendall(_HDR.pack(MAGIC_EOS, 0))
+        yield json.loads(f.readline())
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Live rain-detection server (length-prefixed int16 PCM "
@@ -195,7 +240,21 @@ def main(argv=None) -> int:
                     help="JSON file of engine params (merged over defaults)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (jax.config)")
+    ap.add_argument("--client", default=None, metavar="AUDIO_FILE",
+                    help="act as a client: stream this file to the server "
+                         "and print its JSON replies")
+    ap.add_argument("--packet-samples", type=int, default=8192,
+                    help="client mode: samples per packet")
     args = ap.parse_args(argv)
+
+    if args.client:
+        for reply in stream_file(
+            args.client, host=args.host, port=args.port,
+            unix_path=args.unix, packet_samples=args.packet_samples,
+            sample_rate=args.sample_rate,
+        ):
+            print(json.dumps(reply), flush=True)
+        return 0
 
     if args.cpu:
         import jax

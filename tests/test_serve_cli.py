@@ -123,3 +123,24 @@ def test_serve_rejects_bad_magic(server):
         f = s.makefile("rb")
         reply = json.loads(f.readline())
         assert "error" in reply
+
+
+def test_client_streams_wav_file(server, tmp_path):
+    """stream_file loads a WAV and yields per-packet replies + summary."""
+    from audio_processing_tools_tpu.cli.serve import stream_file
+    from audio_processing_tools_tpu.io.audio import write_wav
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        synth_clip("noise", rng, fs=FS, seconds=1.0),
+        synth_clip("rain_heavy", rng, fs=FS, seconds=1.0),
+    ])
+    wav = tmp_path / "clip.wav"
+    write_wav(str(wav), np.clip(x * 32767, -32768, 32767).astype(np.int16),
+              FS)
+    host, port = server
+    replies = list(stream_file(str(wav), host=host, port=port,
+                               packet_samples=4096))
+    summary = replies[-1]
+    assert summary["eos"] is True and summary["rain_frames"] > 0
+    assert all("chunk" in r for r in replies[:-1])
