@@ -75,3 +75,30 @@ def test_chunk_length_validation(rng):
     state = det.init_state()
     with pytest.raises(ValueError):
         det.process_chunk(state, np.zeros(100, np.float32))
+
+
+def test_chunk_invariance_random_mixed_splits(rng):
+    """MIXED chunk sizes within one stream (the live-serving arrival
+    pattern) are bit-identical to one whole-clip pass: 3 seeded random
+    hop-multiple partitions."""
+    x = _rain(rng)
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    usable = x.size // 128 * 128
+    fc_one, rc_one = _run_chunked(det, x, usable)
+
+    for seed in range(3):
+        prng = np.random.default_rng(100 + seed)
+        state = det.init_state()
+        outs = []
+        s = 0
+        while s < usable:
+            n_hops = int(prng.integers(1, 40))
+            piece = x[s : min(s + n_hops * 128, usable)]
+            state, out = det.process_chunk(state, piece)
+            outs.append(jax.tree_util.tree_map(np.asarray, out))
+            s += piece.size
+        fc = np.concatenate([o["frame_class"] for o in outs])
+        rc = np.concatenate([o["rain_conf"] for o in outs])
+        np.testing.assert_array_equal(fc, fc_one, err_msg=f"seed {seed}")
+        np.testing.assert_array_equal(rc, rc_one, err_msg=f"seed {seed}")
