@@ -79,6 +79,40 @@ def main() -> None:
     print(f"detuned accuracy {res['init_accuracy']:.3f} "
           f"-> gradient tuned {res['accuracy']:.3f}")
     assert res["accuracy"] >= detuned + 0.1
+
+    # --- same recipe on the legacy RoE engine ---
+    from audio_processing_tools_tpu.tuning.gradient import (
+        roe_gradient_tune_thresholds,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 11162 * 4
+    k = np.arange(1000)
+    ping = sum((1.0 / h) * np.sin(2 * np.pi * 520 * h * k / 11162)
+               for h in range(1, 6))
+
+    def harmonic_rain(drops):
+        x = 0.003 * rng.standard_normal(n)
+        for t0 in rng.integers(0, n - 1200, drops):
+            x[t0 : t0 + 1000] += 0.6 * np.exp(-k / 80.0) * ping
+        return x
+
+    roe_clips = np.stack([
+        harmonic_rain(30), harmonic_rain(18),
+        0.02 * rng.standard_normal(n), 0.005 * rng.standard_normal(n),
+    ]).astype(np.float32)
+    roe_labels = np.array([True, True, False, False])
+    roe = roe_gradient_tune_thresholds(
+        roe_clips, roe_labels,
+        base_params={"sample_rate": 11162, "check_duration": 4},
+        init={"harmonic_threshold": [9, 8, 7, 7, 7, 7],
+              "min_drop_count": 2.0, "kurtosis_thr": 8.0,
+              "crest_thr": 8.0, "diff_energy_thr": 20.0},
+        steps=250, lr=0.08,
+    )
+    print(f"\nRoE gradient fit: detuned {roe['init_accuracy']:.3f} "
+          f"-> tuned {roe['accuracy']:.3f}")
+    assert roe["accuracy"] > roe["init_accuracy"]
     print("OK")
 
 
