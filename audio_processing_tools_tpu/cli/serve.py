@@ -60,8 +60,13 @@ def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
     return buf
 
 
-class _DetectorService:
-    """One process-wide detector; per-connection stream state."""
+class _SpectralService:
+    """Flagship spectral detector; per-connection stream state.
+
+    ``block`` is the sample granularity the server buffers to; ``process``
+    returns ``(new_state, reply_fields)`` where reply_fields carries
+    ``frames`` and ``rain_frames`` plus model-specific extras.
+    """
 
     def __init__(self, params: Dict[str, Any]):
         from audio_processing_tools_tpu.models.streaming import (
@@ -70,7 +75,7 @@ class _DetectorService:
 
         self.det = StreamingRainDetector()
         self.det.setup(dict(params))
-        self.hop = int(self.det.cfg.hop)
+        self.block = int(self.det.cfg.hop)
         self.min_event_frames = max(
             1, int(params.get("clip_rain_min_frames", 3))
         )
@@ -81,17 +86,72 @@ class _DetectorService:
             return self.det.init_state()
 
     def process(self, state, samples: np.ndarray):
+        import jax
+
+        from audio_processing_tools_tpu.models.frame_classifier import (
+            FrameClass,
+        )
+
         with self.lock:
-            return self.det.process_chunk(state, samples)
+            state, out = self.det.process_chunk(state, samples)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        fc = out["frame_class"]
+        return state, {
+            "frames": int(fc.size),
+            "rain_frames": int(np.sum(fc == int(FrameClass.RAIN))),
+            "rain_conf_mean": float(np.mean(out["rain_conf"])),
+        }
+
+
+class _BandNoiseService:
+    """Streaming band-noise estimator (``edge/band_noise_estimator.py``
+    semantics): per-frame FFT-rain decisions + Wiener telemetry."""
+
+    def __init__(self, params: Dict[str, Any]):
+        from audio_processing_tools_tpu.models.band_noise import (
+            band_noise_init_state,
+            band_noise_process_chunk,
+            build_band_noise_config,
+        )
+
+        self.cfg = build_band_noise_config(dict(params))
+        self._init_state = band_noise_init_state
+        self._chunk = band_noise_process_chunk
+        self.block = int(self.cfg.frame_len)
+        self.min_event_frames = max(
+            1, int(params.get("clip_rain_min_frames", 3))
+        )
+        self.lock = threading.Lock()
+
+    def new_state(self):
+        return self._init_state(self.cfg)
+
+    def process(self, state, samples: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        with self.lock:
+            outs, state = self._chunk(
+                jnp.asarray(np.asarray(samples, np.float32)), self.cfg, state
+            )
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        rain = outs["fft_rain_frame"].astype(bool)
+        return state, {
+            "frames": int(rain.size),
+            "rain_frames": int(rain.sum()),
+            "N_E_last": float(outs["N_E"][-1]),
+            "G_mag_mean": float(np.mean(outs["G_mag"])),
+        }
+
+
+_SERVICES = {"spectral": _SpectralService, "band_noise": _BandNoiseService}
 
 
 class _StreamHandler(socketserver.BaseRequestHandler):
     """One live stream per connection."""
 
     def handle(self) -> None:  # noqa: C901 - linear protocol loop
-        import jax
-
-        svc: _DetectorService = self.server.svc  # type: ignore[attr-defined]
+        svc = self.server.svc  # type: ignore[attr-defined]
         state = svc.new_state()
         pending = np.zeros(0, np.float32)
         chunk_idx = 0
@@ -125,7 +185,7 @@ class _StreamHandler(socketserver.BaseRequestHandler):
             pcm /= INT16_SCALE
             pending = np.concatenate([pending, pcm])
 
-            usable = pending.size // svc.hop * svc.hop
+            usable = pending.size // svc.block * svc.block
             if usable == 0:
                 self._send({
                     "chunk": chunk_idx, "frames": 0, "rain_frames": 0,
@@ -134,22 +194,12 @@ class _StreamHandler(socketserver.BaseRequestHandler):
                 chunk_idx += 1
                 continue
             piece, pending = pending[:usable], pending[usable:]
-            state, out = svc.process(state, piece)
-            out = jax.tree_util.tree_map(np.asarray, out)
-
-            from audio_processing_tools_tpu.models.frame_classifier import (
-                FrameClass,
-            )
-
-            fc = out["frame_class"]
-            rain = int(np.sum(fc == int(FrameClass.RAIN)))
-            total_frames += int(fc.size)
-            total_rain += rain
+            state, fields = svc.process(state, piece)
+            total_frames += fields["frames"]
+            total_rain += fields["rain_frames"]
             self._send({
                 "chunk": chunk_idx,
-                "frames": int(fc.size),
-                "rain_frames": rain,
-                "rain_conf_mean": float(np.mean(out["rain_conf"])),
+                **fields,
                 "stream_rain_frames": total_rain,
                 "event": total_rain >= svc.min_event_frames,
                 "buffered_samples": int(pending.size),
@@ -170,9 +220,10 @@ class _UnixServer(socketserver.ThreadingUnixStreamServer):
 
 
 def make_server(params: Dict[str, Any], *, host: str = "127.0.0.1",
-                port: int = 0, unix_path: Optional[str] = None):
+                port: int = 0, unix_path: Optional[str] = None,
+                model: str = "spectral"):
     """Build (not start) a server; ``.server_address`` has the bound port."""
-    svc = _DetectorService(params)
+    svc = _SERVICES[model](params)
     if unix_path:
         srv = _UnixServer(unix_path, _StreamHandler)
     else:
@@ -245,6 +296,9 @@ def main(argv=None) -> int:
                          "and print its JSON replies")
     ap.add_argument("--packet-samples", type=int, default=8192,
                     help="client mode: samples per packet")
+    ap.add_argument("--model", default="spectral",
+                    choices=sorted(_SERVICES),
+                    help="engine family to serve")
     args = ap.parse_args(argv)
 
     if args.client:
@@ -272,10 +326,11 @@ def main(argv=None) -> int:
             params.update(json.load(f))
 
     srv = make_server(params, host=args.host, port=args.port,
-                      unix_path=args.unix)
+                      unix_path=args.unix, model=args.model)
     where = args.unix or "%s:%d" % srv.server_address[:2]
     print(f"serving live rain detection on {where} "
-          f"(sample_rate={params['sample_rate']})", flush=True)
+          f"(model={args.model}, sample_rate={params['sample_rate']})",
+          flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

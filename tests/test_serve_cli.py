@@ -144,3 +144,43 @@ def test_client_streams_wav_file(server, tmp_path):
     summary = replies[-1]
     assert summary["eos"] is True and summary["rain_frames"] > 0
     assert all("chunk" in r for r in replies[:-1])
+
+
+def test_serve_band_noise_model(stream_i16):
+    """--model band_noise serves the streaming estimator: per-frame
+    fft-rain decisions, and results equal the offline chunked engine
+    (chunk threading is bit-identical by contract)."""
+    import jax
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        band_noise_init_state,
+        band_noise_process_chunk,
+        build_band_noise_config,
+    )
+
+    srv = make_server({"sample_rate": FS}, port=0, model="band_noise")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        replies, summary = _stream(srv.server_address, stream_i16,
+                                   packet_samples=3000)
+        assert summary["eos"] is True
+        # offline: same audio through the chunked engine in one pass
+        cfg = build_band_noise_config({"sample_rate": FS})
+        x = stream_i16.astype(np.float32) / 32767.0
+        usable = x.size // cfg.frame_len * cfg.frame_len
+        outs, _ = band_noise_process_chunk(
+            x[:usable], cfg, band_noise_init_state(cfg)
+        )
+        rain_off = int(np.asarray(outs["fft_rain_frame"]).astype(bool).sum())
+        frames_off = int(np.asarray(outs["fft_rain_frame"]).size)
+        assert summary["frames"] == frames_off
+        assert summary["rain_frames"] == rain_off
+        assert summary["rain_frames"] > 0
+        # model-specific telemetry present in data replies
+        data = [r for r in replies if r.get("frames", 0) > 0]
+        assert data and all("N_E_last" in r and "G_mag_mean" in r
+                            for r in data)
+    finally:
+        srv.shutdown()
+        srv.server_close()
