@@ -297,6 +297,36 @@ class StreamingRainDetector:
             self._compiled[key] = fn
         return fn(state, chunk)
 
+    # ------------------------------------------------------------------
+    def init_state_batch(self, n_streams: int) -> Dict[str, Any]:
+        """Stacked fresh state for ``n_streams`` independent live streams."""
+        one = self.init_state()
+        return jax.tree_util.tree_map(
+            lambda a: jnp.repeat(jnp.asarray(a)[None], int(n_streams), axis=0),
+            one,
+        )
+
+    def process_chunk_batch(self, state: Dict[str, Any], chunks
+                            ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Process one hop-multiple chunk from EACH of B live streams as a
+        single vmapped device program — the multi-stream serving fast path
+        (per-stream results are bit-identical to ``process_chunk``).
+
+        ``chunks``: (B, L) with one chunk per stream (same L — lockstep
+        batching; servers coalesce connections that have a full chunk
+        pending).  ``state`` comes from :meth:`init_state_batch` (or
+        stacked per-stream states).
+        """
+        chunks = jnp.asarray(np.asarray(chunks, np.float32))
+        if chunks.ndim != 2:
+            raise ValueError("chunks must be (n_streams, chunk_len)")
+        key = ("batch", int(chunks.shape[0]), int(chunks.shape[-1]))
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(self._trace_chunk))
+            self._compiled[key] = fn
+        return fn(state, chunks)
+
     def process_stream(self, x, chunk_sec: float = 2.0) -> Dict[str, np.ndarray]:
         """Convenience: run a whole recording through fixed-size chunks."""
         cfg = self.cfg

@@ -102,3 +102,39 @@ def test_chunk_invariance_random_mixed_splits(rng):
         rc = np.concatenate([o["rain_conf"] for o in outs])
         np.testing.assert_array_equal(fc, fc_one, err_msg=f"seed {seed}")
         np.testing.assert_array_equal(rc, rc_one, err_msg=f"seed {seed}")
+
+
+def test_batched_multistream_matches_per_stream(rng):
+    """process_chunk_batch: B concurrent streams in one vmapped program,
+    bit-identical to B independent process_chunk streams (the serving
+    fast path)."""
+    B = 4
+    clips = [_rain(np.random.default_rng(200 + i)) for i in range(B)]
+    clips[2] = (0.02 * np.random.default_rng(7).standard_normal(FS * 6)
+                ).astype(np.float32)
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    chunk_len = 128 * 16
+
+    # independent single-stream runs
+    singles = []
+    for x in clips:
+        state = det.init_state()
+        fcs = []
+        for s in range(0, FS * 6 // chunk_len * chunk_len, chunk_len):
+            state, out = det.process_chunk(state, x[s : s + chunk_len])
+            fcs.append(np.asarray(out["frame_class"]))
+        singles.append(np.concatenate(fcs))
+
+    # lockstep batched run
+    bstate = det.init_state_batch(B)
+    fcs_b = []
+    for s in range(0, FS * 6 // chunk_len * chunk_len, chunk_len):
+        batch = np.stack([x[s : s + chunk_len] for x in clips])
+        bstate, out = det.process_chunk_batch(bstate, batch)
+        fcs_b.append(np.asarray(out["frame_class"]))
+    batched = np.concatenate(fcs_b, axis=-1)  # (B, T)
+
+    for i in range(B):
+        np.testing.assert_array_equal(batched[i], singles[i],
+                                      err_msg=f"stream {i}")
