@@ -88,19 +88,48 @@ class _SpectralService:
     def process(self, state, samples: np.ndarray):
         import jax
 
+        with self.lock:
+            state, out = self.det.process_chunk(state, samples)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return state, self._fields(out)
+
+    @staticmethod
+    def _fields(out) -> Dict[str, Any]:
         from audio_processing_tools_tpu.models.frame_classifier import (
             FrameClass,
         )
 
-        with self.lock:
-            state, out = self.det.process_chunk(state, samples)
-        out = jax.tree_util.tree_map(np.asarray, out)
-        fc = out["frame_class"]
-        return state, {
+        fc = np.asarray(out["frame_class"])
+        return {
             "frames": int(fc.size),
             "rain_frames": int(np.sum(fc == int(FrameClass.RAIN))),
-            "rain_conf_mean": float(np.mean(out["rain_conf"])),
+            "rain_conf_mean": float(np.mean(np.asarray(out["rain_conf"]))),
         }
+
+    def process_many(self, states, sample_rows):
+        """Batched fast path: one vmapped device program for B lockstep
+        requests of equal chunk length (bit-identical per stream to
+        ``process`` — models/streaming.py ``process_chunk_batch``)."""
+        import jax
+
+        B = len(states)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *states
+        )
+        batch = np.stack(sample_rows)
+        with self.lock:
+            new_stacked, out = self.det.process_chunk_batch(stacked, batch)
+        new_stacked = jax.tree_util.tree_map(np.asarray, new_stacked)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        new_states = [
+            jax.tree_util.tree_map(lambda a, i=i: a[i], new_stacked)
+            for i in range(B)
+        ]
+        fields = [
+            self._fields(jax.tree_util.tree_map(lambda a, i=i: a[i], out))
+            for i in range(B)
+        ]
+        return new_states, fields
 
 
 class _BandNoiseService:
@@ -145,6 +174,88 @@ class _BandNoiseService:
 
 
 _SERVICES = {"spectral": _SpectralService, "band_noise": _BandNoiseService}
+
+
+class _Batcher:
+    """Dynamic batching: coalesce concurrent requests into vmapped calls.
+
+    Handler threads block in :meth:`submit`; a dispatcher thread drains the
+    queue for up to ``window_ms`` after the first arrival, groups requests
+    by chunk length, and runs each multi-request group through the
+    service's ``process_many`` (one vmapped device program — per-stream
+    bit-identical to the unbatched path). Singles and services without
+    ``process_many`` fall through to ``process``.
+    """
+
+    def __init__(self, svc, window_ms: float, max_batch: int = 64):
+        import queue
+
+        self.svc = svc
+        self.window = float(window_ms) / 1e3
+        self.max_batch = int(max_batch)
+        self.q: "queue.Queue" = queue.Queue()
+        self._empty = queue.Empty
+        self.batched_calls = 0      # vmapped group dispatches (telemetry)
+        self.batched_requests = 0   # requests served through them
+        t = threading.Thread(target=self._loop, daemon=True,
+                             name="apt-serve-batcher")
+        t.start()
+
+    def submit(self, state, samples: np.ndarray):
+        ev = threading.Event()
+        box: Dict[str, Any] = {}
+        self.q.put((state, samples, ev, box))
+        ev.wait()
+        if "err" in box:
+            raise box["err"]
+        return box["state"], box["fields"]
+
+    def _loop(self) -> None:
+        import time as _t
+
+        while True:
+            batch = [self.q.get()]
+            deadline = _t.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - _t.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except self._empty:
+                    break
+            groups: Dict[int, list] = {}
+            for item in batch:
+                groups.setdefault(int(item[1].size), []).append(item)
+            for items in groups.values():
+                self._run_group(items)
+
+    def _run_group(self, items) -> None:
+        if len(items) > 1 and hasattr(self.svc, "process_many"):
+            try:
+                states = [it[0] for it in items]
+                rows = [it[1] for it in items]
+                new_states, fields = self.svc.process_many(states, rows)
+                self.batched_calls += 1
+                self.batched_requests += len(items)
+                for (st, row, ev, box), ns, f in zip(items, new_states,
+                                                     fields):
+                    box["state"], box["fields"] = ns, f
+                    ev.set()
+                return
+            except Exception as e:  # fall back to singles below
+                err = e
+                for *_rest, ev, box in items:
+                    if not ev.is_set():
+                        box["err"] = err
+                        ev.set()
+                return
+        for st, row, ev, box in items:
+            try:
+                box["state"], box["fields"] = self.svc.process(st, row)
+            except Exception as e:
+                box["err"] = e
+            ev.set()
 
 
 class _StreamHandler(socketserver.BaseRequestHandler):
@@ -194,7 +305,11 @@ class _StreamHandler(socketserver.BaseRequestHandler):
                 chunk_idx += 1
                 continue
             piece, pending = pending[:usable], pending[usable:]
-            state, fields = svc.process(state, piece)
+            batcher = getattr(self.server, "batcher", None)
+            if batcher is not None:
+                state, fields = batcher.submit(state, piece)
+            else:
+                state, fields = svc.process(state, piece)
             total_frames += fields["frames"]
             total_rain += fields["rain_frames"]
             self._send({
@@ -221,14 +336,22 @@ class _UnixServer(socketserver.ThreadingUnixStreamServer):
 
 def make_server(params: Dict[str, Any], *, host: str = "127.0.0.1",
                 port: int = 0, unix_path: Optional[str] = None,
-                model: str = "spectral"):
-    """Build (not start) a server; ``.server_address`` has the bound port."""
+                model: str = "spectral", batch_window_ms: float = 0.0):
+    """Build (not start) a server; ``.server_address`` has the bound port.
+
+    ``batch_window_ms`` > 0 enables dynamic batching: concurrent
+    connections whose chunks arrive within the window run as ONE vmapped
+    device program (throughput mode; adds up to one window of latency).
+    """
     svc = _SERVICES[model](params)
     if unix_path:
         srv = _UnixServer(unix_path, _StreamHandler)
     else:
         srv = _TcpServer((host, port), _StreamHandler)
     srv.svc = svc  # type: ignore[attr-defined]
+    srv.batcher = (  # type: ignore[attr-defined]
+        _Batcher(svc, batch_window_ms) if batch_window_ms > 0 else None
+    )
     return srv
 
 
@@ -299,6 +422,9 @@ def main(argv=None) -> int:
     ap.add_argument("--model", default="spectral",
                     choices=sorted(_SERVICES),
                     help="engine family to serve")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="dynamic batching window: concurrent connections "
+                         "coalesce into one vmapped device call (0 = off)")
     args = ap.parse_args(argv)
 
     if args.client:
@@ -326,7 +452,8 @@ def main(argv=None) -> int:
             params.update(json.load(f))
 
     srv = make_server(params, host=args.host, port=args.port,
-                      unix_path=args.unix, model=args.model)
+                      unix_path=args.unix, model=args.model,
+                      batch_window_ms=args.batch_window_ms)
     where = args.unix or "%s:%d" % srv.server_address[:2]
     print(f"serving live rain detection on {where} "
           f"(model={args.model}, sample_rate={params['sample_rate']})",

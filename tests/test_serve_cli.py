@@ -184,3 +184,82 @@ def test_serve_band_noise_model(stream_i16):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_dynamic_batching_concurrent_streams_exact():
+    """4 clients streaming DIFFERENT clips concurrently through a batched
+    server (batch_window_ms>0): every stream's totals must equal its own
+    fresh-state offline run — dynamic batching must never mix streams or
+    change results (process_chunk_batch is bit-identical per stream)."""
+    import concurrent.futures as cf
+
+    srv = make_server(PARAMS, port=0, batch_window_ms=30.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clips = []
+        for i in range(4):
+            rng = np.random.default_rng(300 + i)
+            kind = "rain_heavy" if i % 2 == 0 else "noise"
+            x = np.concatenate([
+                synth_clip("noise", rng, fs=FS, seconds=1.0),
+                synth_clip(kind, rng, fs=FS, seconds=1.0),
+            ])
+            clips.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+            )
+
+        with cf.ThreadPoolExecutor(4) as pool:
+            futs = [
+                pool.submit(_stream, srv.server_address, c,
+                            4096 + 512 * i)  # varied packet sizes too
+                for i, c in enumerate(clips)
+            ]
+            summaries = [f.result()[1] for f in futs]
+
+        for i, (clip, summary) in enumerate(zip(clips, summaries)):
+            frames_off, rain_off = _offline_counts(clip)
+            assert summary["frames"] == frames_off, f"stream {i}"
+            assert summary["rain_frames"] == rain_off, f"stream {i}"
+        # the rainy streams must actually detect
+        assert summaries[0]["rain_frames"] > 0
+        assert summaries[2]["rain_frames"] > 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_dynamic_batching_actually_batches():
+    """With equal packet sizes and a generous window, concurrent streams
+    MUST coalesce into vmapped group dispatches (not just fall through to
+    singles), and results still match offline exactly."""
+    import concurrent.futures as cf
+
+    srv = make_server(PARAMS, port=0, batch_window_ms=150.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clips = []
+        for i in range(3):
+            rng = np.random.default_rng(400 + i)
+            x = np.concatenate([
+                synth_clip("rain_heavy", rng, fs=FS, seconds=1.0),
+                synth_clip("noise", rng, fs=FS, seconds=1.0),
+            ])
+            clips.append(np.clip(x * 32767.0, -32768, 32767).astype("<i2"))
+
+        with cf.ThreadPoolExecutor(3) as pool:
+            futs = [pool.submit(_stream, srv.server_address, c, 4096)
+                    for c in clips]
+            summaries = [f.result()[1] for f in futs]
+
+        batcher = srv.batcher
+        assert batcher.batched_calls > 0, "no vmapped group ever dispatched"
+        assert batcher.batched_requests >= 2 * batcher.batched_calls
+        for i, (clip, summary) in enumerate(zip(clips, summaries)):
+            frames_off, rain_off = _offline_counts(clip)
+            assert summary["frames"] == frames_off, f"stream {i}"
+            assert summary["rain_frames"] == rain_off, f"stream {i}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
