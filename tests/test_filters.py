@@ -112,3 +112,21 @@ def test_design_helpers_match_engine_clipping():
         design_bandpass(FS, 400.0, 3500.0, 4),
         spsig.butter(4, [lo / nyq, hi / nyq], "bandpass", output="sos"),
     )
+
+
+def test_sosfilt_lean_path_matches_zi_path(rng):
+    """The zf-free fast path (return_zf=False: unrolled scans, halved
+    prefix emission) computes the same y as the zi path to float32 ulp
+    tolerance — pins the refactor contract behind sosfiltfilt."""
+    x = rng.standard_normal(6000).astype(np.float32)
+    sos = spsig.butter(4, [400 / (FS / 2), 3500 / (FS / 2)], "bandpass",
+                       output="sos")
+    zi = np.zeros((sos.shape[0], 2), np.float32)
+    y_zi, _ = sosfilt(sos, jnp.asarray(x), zi=jnp.asarray(zi))
+    y_lean = sosfilt(sos, jnp.asarray(x), zi=jnp.asarray(zi),
+                     return_zf=False)
+    y_zi = np.asarray(y_zi)
+    y_lean = np.asarray(y_lean)
+    scale = np.abs(y_zi).max() + 1e-12
+    # different unroll factors regroup FMAs -> ulp-level shifts only
+    np.testing.assert_allclose(y_lean, y_zi, atol=1e-5 * scale)

@@ -263,3 +263,15 @@ def test_serve_dynamic_batching_actually_batches():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_rejects_oversized_packet(server):
+    """A length header beyond MAX_PACKET_BYTES is refused up front
+    (no attempt to buffer gigabytes from a bad client)."""
+    from audio_processing_tools_tpu.cli.serve import MAX_PACKET_BYTES
+
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(_HDR.pack(MAGIC_DATA, MAX_PACKET_BYTES + 1))
+        f = s.makefile("rb")
+        reply = json.loads(f.readline())
+        assert "error" in reply
