@@ -96,3 +96,28 @@ def test_batch_sequence_2d_mesh_validation(rng):
         batch_sequence_sharded_stft_power(jnp.zeros((3, 4 * HOP * 8)), mesh)
     with pytest.raises(ValueError, match="multiple"):
         batch_sequence_sharded_stft_power(jnp.zeros((2, 4 * HOP * 8 + 1)), mesh)
+
+
+@pytest.mark.parametrize("draw", range(4))
+def test_sequence_sharded_stft_geometry_fuzz(draw):
+    """Seeded fuzz over (n_fft, hop, shard count, length): the ring-halo
+    sequence-parallel STFT must equal the unsharded causal STFT for any
+    geometry, not just the default 256/128 on 8 shards."""
+    prng = np.random.default_rng(600 + draw)
+    n_fft = int(prng.choice([128, 256, 512]))
+    hop = int(prng.choice([n_fft // 4, n_fft // 2]))
+    n_dev = int(prng.choice([2, 4, 8]))
+    mesh = make_mesh(n_dev)
+    # long enough for _signal's ping placement (needs n > 4000) at the
+    # smallest (n_dev=2, hop=32) geometry
+    n = n_dev * hop * int(prng.integers(80, 160))
+    x = _signal(prng, n)
+    P_sharded = np.asarray(sequence_sharded_stft_power(
+        jnp.asarray(x), mesh, n_fft=n_fft, hop=hop))
+    P_ref = np.asarray(stft_power(jnp.asarray(x), n_fft=n_fft, hop=hop,
+                                  center=False))
+    assert P_sharded.shape == P_ref.shape, (n_fft, hop, n_dev, n)
+    np.testing.assert_allclose(
+        P_sharded, P_ref, atol=1e-5 * P_ref.max(),
+        err_msg=f"n_fft={n_fft} hop={hop} devs={n_dev} n={n}",
+    )
