@@ -164,13 +164,50 @@ class _BandNoiseService:
                 jnp.asarray(np.asarray(samples, np.float32)), self.cfg, state
             )
         outs = jax.tree_util.tree_map(np.asarray, outs)
-        rain = outs["fft_rain_frame"].astype(bool)
-        return state, {
+        return state, self._fields(outs)
+
+    @staticmethod
+    def _fields(outs) -> Dict[str, Any]:
+        rain = np.asarray(outs["fft_rain_frame"]).astype(bool)
+        return {
             "frames": int(rain.size),
             "rain_frames": int(rain.sum()),
-            "N_E_last": float(outs["N_E"][-1]),
-            "G_mag_mean": float(np.mean(outs["G_mag"])),
+            "N_E_last": float(np.asarray(outs["N_E"])[-1]),
+            "G_mag_mean": float(np.mean(np.asarray(outs["G_mag"]))),
         }
+
+    def process_many(self, states, sample_rows):
+        """Batched fast path: vmap the (bit-identical) chunked engine over
+        B lockstep streams."""
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_vmapped"):
+            cfg = self.cfg
+            chunk = self._chunk
+            self._vmapped = jax.jit(
+                jax.vmap(lambda x, st: chunk(x, cfg, st))
+            )
+        B = len(states)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *states
+        )
+        batch = jnp.asarray(np.stack(
+            [np.asarray(r, np.float32) for r in sample_rows]
+        ))
+        with self.lock:
+            outs, new_stacked = self._vmapped(batch, stacked)
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        new_stacked = jax.tree_util.tree_map(np.asarray, new_stacked)
+        new_states = [
+            jax.tree_util.tree_map(lambda a, i=i: a[i], new_stacked)
+            for i in range(B)
+        ]
+        fields = [
+            self._fields(jax.tree_util.tree_map(lambda a, i=i: a[i], outs))
+            for i in range(B)
+        ]
+        return new_states, fields
 
 
 _SERVICES = {"spectral": _SpectralService, "band_noise": _BandNoiseService}

@@ -275,3 +275,52 @@ def test_serve_rejects_oversized_packet(server):
         f = s.makefile("rb")
         reply = json.loads(f.readline())
         assert "error" in reply
+
+
+def test_serve_band_noise_dynamic_batching_exact():
+    """Band-noise model + dynamic batching: concurrent streams coalesce
+    into a vmapped chunked-engine call, per-stream exact vs offline."""
+    import concurrent.futures as cf
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        band_noise_init_state,
+        band_noise_process_chunk,
+        build_band_noise_config,
+    )
+
+    srv = make_server({"sample_rate": FS}, port=0, model="band_noise",
+                      batch_window_ms=150.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        clips = []
+        for i in range(3):
+            rng = np.random.default_rng(700 + i)
+            x = np.concatenate([
+                synth_clip("rain_heavy", rng, fs=FS, seconds=1.0),
+                synth_clip("noise", rng, fs=FS, seconds=1.0),
+            ])
+            clips.append(np.clip(x * 32767.0, -32768, 32767).astype("<i2"))
+
+        with cf.ThreadPoolExecutor(3) as pool:
+            futs = [pool.submit(_stream, srv.server_address, c, 4096)
+                    for c in clips]
+            summaries = [f.result()[1] for f in futs]
+
+        assert srv.batcher.batched_calls > 0, "vmapped path never engaged"
+        cfg = build_band_noise_config({"sample_rate": FS})
+        for i, (clip, summary) in enumerate(zip(clips, summaries)):
+            x = clip.astype(np.float32) / 32767.0
+            usable = x.size // cfg.frame_len * cfg.frame_len
+            outs, _ = band_noise_process_chunk(
+                x[:usable], cfg, band_noise_init_state(cfg)
+            )
+            rain_off = int(
+                np.asarray(outs["fft_rain_frame"]).astype(bool).sum()
+            )
+            assert summary["frames"] == int(
+                np.asarray(outs["fft_rain_frame"]).size), f"stream {i}"
+            assert summary["rain_frames"] == rain_off, f"stream {i}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
