@@ -353,3 +353,32 @@ def test_ber_integer_properties():
     # runaway continuation bytes terminate safely
     v, used = read_ber_integer(b"\xff" * 10, 10)
     assert v == 0 and used == 6
+
+
+def test_mark_parser_fuzz_garbage_alac_payloads_fail_cleanly(rng):
+    """file_version>=1 routes random payloads into the IN-PROCESS native
+    ALAC decoder: they must raise a clean Python error (or, rarely,
+    decode as far as the payload allows) — never crash the process. This
+    is the memory-safety fuzz for native/alac_decode.cpp's input
+    validation."""
+    from audio_processing_tools_tpu.io.mark import (
+        MARK_MAGIC,
+        parse_mark_audio_file,
+    )
+
+    survived = 0
+    for i in range(30):
+        body = bytearray(rng.integers(0, 256, 36, dtype=np.uint8).tobytes())
+        body[11] = 1 + int(rng.integers(0, 3))     # file_version 1-3 -> ALAC
+        n_payload = int(rng.integers(0, 4000))
+        payload = rng.integers(0, 256, n_payload, dtype=np.uint8).tobytes()
+        blob = MARK_MAGIC + bytes(body) + payload
+        try:
+            sig, meta = parse_mark_audio_file(blob)
+            assert sig.dtype == np.int16
+            survived += 1
+        except Exception as e:
+            assert not isinstance(e, (MemoryError, SystemError)), e
+    # the point is the loop FINISHED (no segfault/abort); a few blobs
+    # decoding by luck is fine
+    assert survived >= 0
