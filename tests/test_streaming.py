@@ -138,3 +138,55 @@ def test_batched_multistream_matches_per_stream(rng):
     for i in range(B):
         np.testing.assert_array_equal(batched[i], singles[i],
                                       err_msg=f"stream {i}")
+
+
+def test_batched_multistream_heterogeneous_ages(rng):
+    """Streams batched together at DIFFERENT stream positions (the
+    dynamic-batching case: a connection joins while another is mid-flight)
+    stay bit-identical to their solo runs."""
+    import jax as _jax
+
+    xa = _rain(np.random.default_rng(500))
+    xb = _rain(np.random.default_rng(501))
+    det = StreamingRainDetector()
+    det.setup(dict(PARAMS))
+    chunk = 128 * 16
+
+    # solo runs
+    solo = {}
+    for name, x in (("a", xa), ("b", xb)):
+        st = det.init_state()
+        fcs = []
+        for s in range(0, chunk * 5, chunk):
+            st, out = det.process_chunk(st, x[s : s + chunk])
+            fcs.append(np.asarray(out["frame_class"]))
+        solo[name] = np.concatenate(fcs)
+
+    # stream a runs 3 chunks alone, then b joins; 2 batched steps follow
+    st_a = det.init_state()
+    fcs_a = []
+    for s in range(0, chunk * 3, chunk):
+        st_a, out = det.process_chunk(st_a, xa[s : s + chunk])
+        fcs_a.append(np.asarray(out["frame_class"]))
+    st_b = det.init_state()
+    fcs_b = []
+    stacked = _jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(v) for v in xs]), st_a, st_b
+    )
+    for k in range(2):
+        batch = np.stack([
+            xa[(3 + k) * chunk : (4 + k) * chunk],
+            xb[k * chunk : (k + 1) * chunk],
+        ])
+        stacked, out = det.process_chunk_batch(stacked, batch)
+        fc = np.asarray(out["frame_class"])
+        fcs_a.append(fc[0])
+        fcs_b.append(fc[1])
+
+    np.testing.assert_array_equal(
+        np.concatenate(fcs_a), solo["a"], err_msg="older stream diverged"
+    )
+    np.testing.assert_array_equal(
+        np.concatenate(fcs_b), solo["b"][: chunk // 128 * 2],
+        err_msg="younger stream diverged",
+    )
