@@ -280,13 +280,11 @@ class _Batcher:
                     box["state"], box["fields"] = ns, f
                     ev.set()
                 return
-            except Exception as e:  # fall back to singles below
-                err = e
-                for *_rest, ev, box in items:
-                    if not ev.is_set():
-                        box["err"] = err
-                        ev.set()
-                return
+            except Exception:
+                # genuine fallback: re-run each request through the
+                # per-request path so one poisoned group member cannot
+                # fail its neighbours
+                pass
         for st, row, ev, box in items:
             try:
                 box["state"], box["fields"] = self.svc.process(st, row)
@@ -328,6 +326,9 @@ class _StreamHandler(socketserver.BaseRequestHandler):
                 return
             payload = _recv_exact(self.request, n_bytes)
             if payload is None:
+                return
+            if n_bytes % 2:
+                self._send({"error": "odd payload length (int16 PCM)"})
                 return
             pcm = np.frombuffer(payload, "<i2").astype(np.float32)
             pcm /= INT16_SCALE

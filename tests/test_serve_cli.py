@@ -324,3 +324,11 @@ def test_serve_band_noise_dynamic_batching_exact():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_rejects_odd_payload_length(server):
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(_HDR.pack(MAGIC_DATA, 3) + b"\0\0\0")
+        f = s.makefile("rb")
+        reply = json.loads(f.readline())
+        assert "error" in reply and "odd" in reply["error"]
