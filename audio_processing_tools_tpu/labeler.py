@@ -24,6 +24,32 @@ import pandas as pd
 from audio_processing_tools_tpu.io.mark import parse_mark_audio_file
 from audio_processing_tools_tpu.io.audio import pcm_to_float, write_wav
 
+# the five widget panes a labeling session renders into, in display order
+_PANES = ("main_output", "audio_output", "signal_output",
+          "spectrogram_output", "figure_output")
+
+
+def _source_indexed(df: pd.DataFrame) -> pd.DataFrame:
+    """Validate the clip table and key it by ``source_file``.
+
+    Every clip needs a distinct, non-null source key — labels are addressed
+    by it (the uid hashes it), so a bad table fails fast here rather than
+    mid-session.
+    """
+    out = df.copy()
+    key = "source_file"
+    if key not in out.columns:
+        raise ValueError(f"clip table is missing the {key!r} column")
+    col = out[key]
+    if col.isnull().any():
+        raise ValueError(f"clip table has empty {key!r} entries")
+    if col.duplicated().any():
+        dupes = col[col.duplicated()].tolist()[:3]
+        raise ValueError(f"clip table repeats {key!r} values (e.g. {dupes})")
+    if not out.index.equals(pd.Index(col)):
+        out = out.set_index(key, drop=False)
+    return out
+
 
 class TestVectorLabeler:
     __test__ = False  # reference-parity name starts with "Test"; not a test
@@ -44,93 +70,72 @@ class TestVectorLabeler:
         visualize_time_series_signal: bool = False,
         visualize_signal_spectrogram: bool = False,
     ):
-        from ipywidgets import Output
-
-        self.audio_df = audio_df.copy()
-        if "source_file" not in self.audio_df.columns:
-            raise ValueError("audio_df must contain a 'source_file' column")
-        if self.audio_df["source_file"].isnull().any():
-            raise ValueError("audio_df contains null values in 'source_file'")
-        if not self.audio_df["source_file"].is_unique:
-            raise ValueError("audio_df must have unique source_file values")
-        if not self.audio_df.index.equals(pd.Index(self.audio_df["source_file"])):
-            self.audio_df = self.audio_df.set_index("source_file", drop=False)
-
+        self.audio_df = _source_indexed(audio_df)
         self.db_engine = db_engine
         self.db_engine_upsert = db_engine_upsert or db_engine
-        self.max_duration_seconds = max_duration_seconds
-        self.local_audio_cache = local_audio_cache
-        self.out_folder = (
-            Path(out_folder).expanduser().resolve() if out_folder is not None else None
+        # everything else is a plain session option; carry them verbatim
+        opts = dict(
+            max_duration_seconds=max_duration_seconds,
+            local_audio_cache=local_audio_cache,
+            normalize_audio=normalize_audio,
+            autoplay=autoplay,
+            visualize_device_context=visualize_device_context,
+            context_window_days=context_window_days,
+            add_ibm_data=add_ibm_data,
+            visualize_time_series_signal=visualize_time_series_signal,
+            visualize_signal_spectrogram=visualize_signal_spectrogram,
         )
-        if self.out_folder is not None:
+        for name, value in opts.items():
+            setattr(self, name, value)
+        self.out_folder = None
+        if out_folder is not None:
+            self.out_folder = Path(out_folder).expanduser().resolve()
             self.out_folder.mkdir(parents=True, exist_ok=True)
-        self.normalize_audio = normalize_audio
-        self.autoplay = autoplay
-        self.visualize_device_context = visualize_device_context
-        self.context_window_days = context_window_days
-        self.add_ibm_data = add_ibm_data
-        self.visualize_time_series_signal = visualize_time_series_signal
-        self.visualize_signal_spectrogram = visualize_signal_spectrogram
-
-        self.index_list = self.audio_df.index
-        self.index_iter = iter(self.index_list)
-        self.main_output = Output()
-        self.audio_output = Output()
-        self.signal_output = Output()
-        self.spectrogram_output = Output()
-        self.figure_output = Output()
-        self.history_stack: deque = deque()
-        self.upsert_threads: list = []
+        self.reset()
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
+        """Rewind navigation and give the session fresh widget panes."""
         from ipywidgets import Output
 
         self.index_list = self.audio_df.index
         self.index_iter = iter(self.index_list)
-        self.history_stack = deque()
-        self.main_output = Output()
-        self.audio_output = Output()
-        self.signal_output = Output()
-        self.spectrogram_output = Output()
-        self.figure_output = Output()
-        self.upsert_threads = []
+        self.history_stack: deque = deque()
+        self.upsert_threads: list = []
+        for pane in _PANES:
+            setattr(self, pane, Output())
 
     def label_vectors(self) -> None:
         """Start a fresh labeling session from the first file."""
         from IPython.display import display
 
         self.reset()
-        for w in (self.main_output, self.audio_output, self.signal_output,
-                  self.spectrogram_output, self.figure_output):
-            display(w)
+        for pane in _PANES:
+            display(getattr(self, pane))
         self.process_next_index()
 
     def process_next_index(self) -> None:
         from IPython.display import clear_output
 
-        try:
-            next_index = next(self.index_iter)
-            self.history_stack.append(next_index)
-            self.process_index(next_index, self.process_next_index, self.main_output)
-        except StopIteration:
+        here = next(self.index_iter, None)
+        if here is None:  # ran off the end of the clip table
             with self.main_output:
                 clear_output(wait=True)
                 print("All files have been processed.")
+            return
+        self.history_stack.append(here)
+        self.process_index(here, self.process_next_index, self.main_output)
 
     def process_previous_index(self) -> None:
-        if len(self.history_stack) > 1:
-            self.history_stack.pop()
-            previous_index = self.history_stack.pop()
-            self.index_iter = iter(
-                self.index_list[self.index_list.get_loc(previous_index):]
-            )
-            self.process_index(previous_index, self.process_next_index,
-                               self.main_output)
-        else:
+        if len(self.history_stack) < 2:
             with self.main_output:
                 print("No previous file to go back to.")
+            return
+        self.history_stack.pop()          # leave the current clip
+        back = self.history_stack.pop()   # land on the one before it
+        # resume forward iteration from the revisited position
+        self.index_iter = iter(self.index_list[self.index_list.get_loc(back):])
+        self.process_index(back, self.process_next_index, self.main_output)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -164,44 +169,42 @@ class TestVectorLabeler:
         """Adjacent recordings (+ optional IBM precip) around the clip."""
         import matplotlib.pyplot as plt
 
-        center_time = audio_df.loc[key_of_interest]["time"]
-        start_time = center_time - pd.Timedelta(days=window_size / 2)
-        end_time = center_time + pd.Timedelta(days=window_size / 2)
-        device_id = audio_df.loc[key_of_interest]["device_id"]
-        window = audio_df[
-            (audio_df["device_id"] == device_id)
-            & (audio_df["time"].between(start_time, end_time))
-        ]
-        fig, ax = plt.subplots(figsize=(10, 3))
-        ax.plot(window["time"], [device_id] * len(window), "o",
+        clip = audio_df.loc[key_of_interest]
+        pivot, dev = clip["time"], clip["device_id"]
+        half = pd.Timedelta(days=window_size / 2)
+        t0, t1 = pivot - half, pivot + half
+        nearby = audio_df["device_id"].eq(dev) & audio_df["time"].between(t0, t1)
+        peers = audio_df.loc[nearby, "time"]
+
+        _fig, ax = plt.subplots(figsize=(10, 3))
+        ax.plot(peers, [dev] * len(peers), "o",
                 label="Adjacent Audio Recordings", markersize=4)
-        ax.plot([center_time], [device_id], "ro", label="Current Audio File")
-        ax.set_title(f"Audio Context For {device_id}")
+        ax.plot([pivot], [dev], "ro", label="Current Audio File")
+        ax.set_title(f"Audio Context For {dev}")
         ax.legend(fontsize=8)
 
-        if display_ibm_data:
-            lat = audio_df.loc[key_of_interest]["lat"]
-            long = audio_df.loc[key_of_interest]["long"]
-            if (lat == 0 and long == 0) or pd.isnull(lat) or pd.isnull(long):
+        def _ibm_overlay():
+            lat, long = clip["lat"], clip["long"]
+            bad = pd.isnull(lat) or pd.isnull(long) or (lat == 0 and long == 0)
+            if bad:
                 print("Could not get IBM data due to bad coordinates")
-                plt.show()
                 return
             try:
-                ibm = TestVectorLabeler.fetch_ibm_data(
-                    db_engine, start_time, end_time, lat, long
-                )
+                ibm = TestVectorLabeler.fetch_ibm_data(db_engine, t0, t1,
+                                                       lat, long)
             except Exception as e:
                 print(f"Could not fetch IBM data: {e}")
-                plt.show()
                 return
             if ibm.empty:
                 print(f"IBM data for {lat}, {long} not found in db")
-                plt.show()
                 return
-            ax2 = ax.twinx()
-            ax2.plot(ibm["time"], ibm["ibm_precip"], "-", color="tab:blue",
-                     label="IBM precip")
-            ax2.set_ylabel("IBM rain (mm)")
+            twin = ax.twinx()
+            twin.plot(ibm["time"], ibm["ibm_precip"], "-", color="tab:blue",
+                      label="IBM precip")
+            twin.set_ylabel("IBM rain (mm)")
+
+        if display_ibm_data:
+            _ibm_overlay()
         plt.show()
 
     # ------------------------------------------------------------------
@@ -217,74 +220,71 @@ class TestVectorLabeler:
         )
 
         with output_widget:
-            audio_file_data = self.audio_df.loc[index].copy()
+            clip_row = self.audio_df.loc[index].copy()
             clear_output(wait=True)
-            source_file = audio_file_data["source_file"]
+            src = clip_row["source_file"]
             pos = self.index_list.get_loc(index) + 1
             print(f"File {pos} of {len(self.index_list)}")
 
-            audio_data = get_device_raw_audio_data(
-                keys=[source_file], local_cache_location=self.local_audio_cache,
+            fetched = get_device_raw_audio_data(
+                keys=[src], local_cache_location=self.local_audio_cache,
                 redownload=False, use_caching=True, header_only=False,
                 verbose=False,
             )
-            if source_file not in audio_data:
+            try:
+                blob = fetched[src]
+            except KeyError:
                 raise KeyError(
-                    f"Fetched audio data does not contain key {source_file!r}."
-                )
-            audio_binary = audio_data[source_file]
-            sig, metadata = parse_mark_audio_file(audio_binary)
-            sample_rate = metadata["sample_rate"]
-            duration = len(sig) / sample_rate
-            start_time, end_time = 0, min(duration, self.max_duration_seconds)
-            audio_file_data["segment_start_seconds"] = start_time
-            audio_file_data["segment_end_seconds"] = end_time
-            print(f"Working on {source_file} from {start_time}s to {end_time}s")
+                    f"Fetched audio data does not contain key {src!r}."
+                ) from None
+            sig, meta = parse_mark_audio_file(blob)
+            fs = meta["sample_rate"]
+            t0, t1 = 0, min(len(sig) / fs, self.max_duration_seconds)
+            clip_row["segment_start_seconds"] = t0
+            clip_row["segment_end_seconds"] = t1
+            print(f"Working on {src} from {t0}s to {t1}s")
 
-            seg = sig[int(start_time * sample_rate) : int(end_time * sample_rate)]
+            seg = pcm_to_float(sig[int(t0 * fs) : int(t1 * fs)])
 
             with self.audio_output:
                 clear_output(wait=True)
-                display(Audio(data=pcm_to_float(seg), rate=sample_rate,
+                display(Audio(data=seg, rate=fs,
                               normalize=self.normalize_audio,
                               autoplay=self.autoplay))
 
-            buttons = {
-                "Raining": self.make_button_handler(
-                    audio_file_data, output_widget, True, next_index_callback
-                ),
-                "Not Raining": self.make_button_handler(
-                    audio_file_data, output_widget, False, next_index_callback
-                ),
-                "Skip": lambda b: next_index_callback(),
-                "Save for Review": self.make_save_for_review_handler(
-                    audio_file_data, audio_binary, output_widget
-                ),
-                "Go Back": lambda b: self.process_previous_index(),
-            }
-            widgets = []
-            for desc, handler in buttons.items():
+            row = []
+            for desc, handler in (
+                ("Raining", self.make_button_handler(
+                    clip_row, output_widget, True, next_index_callback)),
+                ("Not Raining", self.make_button_handler(
+                    clip_row, output_widget, False, next_index_callback)),
+                ("Skip", lambda b: next_index_callback()),
+                ("Save for Review", self.make_save_for_review_handler(
+                    clip_row, blob, output_widget)),
+                ("Go Back", lambda b: self.process_previous_index()),
+            ):
                 btn = Button(description=desc)
                 btn.on_click(handler)
-                widgets.append(btn)
-            display(HBox(widgets))
+                row.append(btn)
+            display(HBox(row))
 
-            if self.visualize_time_series_signal:
-                with self.signal_output:
+            # optional side panels, each into its own persistent pane
+            panels = (
+                (self.visualize_time_series_signal, self.signal_output,
+                 lambda: plot_audio_signal(seg, fs, title=src)),
+                (self.visualize_signal_spectrogram, self.spectrogram_output,
+                 lambda: plot_audio_spectrogram(seg, fs)),
+                (self.visualize_device_context, self.figure_output,
+                 lambda: self.plot_device_context(
+                     self.db_engine, index, self.audio_df,
+                     self.context_window_days, self.add_ibm_data)),
+            )
+            for enabled, pane, render in panels:
+                if not enabled:
+                    continue
+                with pane:
                     clear_output(wait=True)
-                    plot_audio_signal(pcm_to_float(seg), sample_rate,
-                                      title=source_file)
-            if self.visualize_signal_spectrogram:
-                with self.spectrogram_output:
-                    clear_output(wait=True)
-                    plot_audio_spectrogram(pcm_to_float(seg), sample_rate)
-            if self.visualize_device_context:
-                with self.figure_output:
-                    clear_output(wait=True)
-                    self.plot_device_context(
-                        self.db_engine, index, self.audio_df,
-                        self.context_window_days, self.add_ibm_data,
-                    )
+                    render()
 
     # ------------------------------------------------------------------
     def make_save_for_review_handler(self, audio_file_data, audio_binary,
@@ -321,39 +321,43 @@ class TestVectorLabeler:
             display(f"Rain label being updated to "
                     f"{'TRUE' if rain_status else 'FALSE'}...")
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-            row = pd.Series(dtype="object")
-            row["source_file"] = audio_file_data["source_file"]
-            row["device"] = audio_file_data["device_id"]
-            row["start_time"] = audio_file_data["time"]
-            row["segment_start_seconds"] = audio_file_data["segment_start_seconds"]
-            row["segment_end_seconds"] = audio_file_data["segment_end_seconds"]
-            row["site"] = None
-            row["source"] = "manually labeled"
-            row["raining"] = rain_status
-            row["corrected"] = False
-            try:
-                import requests
-
-                row["creator"] = requests.get(
-                    "https://api.ipify.org", timeout=5
-                ).content.decode("utf8")
-            except Exception:
-                row["creator"] = "unknown"
-            row["update_time"] = now
-            row["create_time"] = now
-            row["manually_labeled"] = True
-            uid = (
-                str(row["source_file"])
-                + str(row["segment_start_seconds"])
-                + str(row["segment_end_seconds"])
-            )
-            row["uid"] = self.generate_uid(uid)
+            src = audio_file_data["source_file"]
+            seg_a = audio_file_data["segment_start_seconds"]
+            seg_b = audio_file_data["segment_end_seconds"]
+            row = {
+                "uid": self.generate_uid(f"{src}{seg_a}{seg_b}"),
+                "source_file": src,
+                "device": audio_file_data["device_id"],
+                "start_time": audio_file_data["time"],
+                "segment_start_seconds": seg_a,
+                "segment_end_seconds": seg_b,
+                "site": None,
+                "source": "manually labeled",
+                "raining": rain_status,
+                "corrected": False,
+                "creator": self._creator_tag(),
+                "update_time": now,
+                "create_time": now,
+                "manually_labeled": True,
+            }
             data = pd.DataFrame([row]).set_index("uid")
             thread = threading.Thread(
                 target=self.background_upsert, args=(data,), daemon=True
             )
             thread.start()
             self.upsert_threads.append(thread)
+
+    @staticmethod
+    def _creator_tag() -> str:
+        """Public IP of the labeling human, or ``"unknown"`` offline."""
+        try:
+            import requests
+
+            return requests.get(
+                "https://api.ipify.org", timeout=5
+            ).content.decode("utf8")
+        except Exception:
+            return "unknown"
 
     def background_upsert(self, data: pd.DataFrame) -> None:
         from audio_processing_tools_tpu.io.db import upsert_df
