@@ -44,6 +44,55 @@ def _hbm_in_use(jax) -> int | None:
         return None
 
 
+def _hbm_program_bytes(compiled) -> int | None:
+    """Static HBM footprint of a compiled program (arguments + outputs +
+    temps + code), from XLA's compile-time memory analysis.  The axon
+    backend's runtime ``memory_stats()`` returns nothing, so this is the
+    memory number the bench contract carries."""
+    try:
+        ma = compiled.memory_analysis()
+        return int(ma.argument_size_in_bytes + ma.output_size_in_bytes
+                   + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes)
+    except Exception:
+        return None
+
+
+# v5e HBM bandwidth (public spec); the roofline denominator
+_V5E_HBM_GBPS = 819.0
+
+# Fields the FULL-run artifact must carry non-null (VERDICT r3 item 8: a
+# silent sub-bench regression — e.g. a missing ALAC shim nulling alac_value —
+# must FAIL the artifact, not produce a "valid" one).  TPU runs additionally
+# require every hardware canary to have fired.
+FULL_RUN_REQUIRED = (
+    "value", "p50_file_latency_ms", "decode_ms", "h2d_ms", "compute_ms",
+    "device_loop_audio_sec_per_sec", "hbm_program_bytes",
+    "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
+    "stream_value",
+)
+TPU_RUN_REQUIRED = (
+    "pallas_max_rel_dev", "engine_cpu_tpu_frame_agreement",
+    "suppress_cpu_tpu_y_rel_dev", "band_noise_cpu_tpu_frame_agreement",
+    "roofline_audio_sec_per_sec_est",
+)
+
+
+def validate_full_artifact(artifact: dict, *, subbench: bool = True) -> None:
+    """Assert the non-quick artifact is complete; raises with the missing
+    field names.  ``subbench=False`` (the explicit ``--no-subbench`` opt-out)
+    relaxes only the sub-measurement fields."""
+    sub = {"alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
+           "stream_value"}
+    required = [k for k in FULL_RUN_REQUIRED if subbench or k not in sub]
+    if artifact.get("backend") == "tpu":
+        required += list(TPU_RUN_REQUIRED)
+    missing = [k for k in required if artifact.get(k) is None]
+    assert not missing, (
+        f"bench artifact incomplete: null/missing fields {missing} "
+        f"(a sub-bench or canary silently did not run)"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small CPU smoke run")
@@ -193,7 +242,6 @@ def main() -> None:
         triv = jax.jit(lambda v: jnp.sum(v, axis=-1))
         np.asarray(triv(d).ravel()[0])
         floor_ms = best_of(lambda: np.asarray(triv(d).ravel()[0]))
-        pure_ms = max(compute_ms - floor_ms, 1e-3)
         return {
             "decode_ms": round(decode_ms, 1),
             "h2d_ms": round(h2d_ms, 1),
@@ -201,8 +249,64 @@ def main() -> None:
             "dispatch_floor_ms": round(floor_ms, 1),
             "device_audio_sec_per_sec": round(
                 B * args.clip_sec / (compute_ms / 1000.0), 1),
-            "device_compute_audio_sec_per_sec": round(
-                B * args.clip_sec / (pure_ms / 1000.0), 1),
+        }
+
+    def device_loop(B, K=16, trials=5):
+        """Pure device throughput with the dispatch floor amortized away
+        (VERDICT r3 item 2: the old compute_ms - floor_ms subtraction had a
+        3x spread across rounds).  K engine steps are CHAINED in one
+        ``lax.scan`` — each step's input is perturbed by the previous
+        step's output, so XLA cannot hoist or parallelize the body — and
+        one dispatch+fetch covers all K, leaving <=floor/K (~2 ms) of host
+        overhead per step.  Also returns the compiled program's static HBM
+        footprint and a bandwidth roofline estimate (bytes = arguments +
+        2x temps at v5e's 819 GB/s; an upper bound — the engine's scans
+        serialize, so it is not expected to be reached)."""
+        files = make_mark_batch(B)
+        mat = np.empty((B, clip_len), np.int16)
+        decode_batch(files, mat)
+        d = jax.device_put(mat)
+        np.asarray(d[0, 0])  # resident
+
+        def loop_fn(pcm):
+            def body(seed, _):
+                out = step_fn(pcm + (seed % 3).astype(jnp.int16))
+                return jnp.sum(out["rain_frame_count"]), ()
+
+            final, _ = jax.lax.scan(body, jnp.int32(0), None, length=K)
+            return final
+
+        lowered = jax.jit(loop_fn).lower(d)
+        compiled = lowered.compile()
+        np.asarray(compiled(d))  # warm
+        rates = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(compiled(d))
+            dt = time.perf_counter() - t0
+            rates.append(K * B * args.clip_sec / dt)
+        rates.sort()
+        med = rates[len(rates) // 2]
+        spread = (rates[-1] - rates[0]) / med
+        # memory + roofline from the SINGLE-step program's footprint (args
+        # read once, temps written + read), independent of K
+        one = jax.jit(step_fn).lower(d).compile()
+        hbm_one = _hbm_program_bytes(one)
+        roofline = None
+        if hbm_one is not None and jax.default_backend() == "tpu":
+            ma = one.memory_analysis()
+            step_bytes = (ma.argument_size_in_bytes
+                          + 2 * ma.temp_size_in_bytes
+                          + ma.output_size_in_bytes)
+            roofline = round(
+                B * args.clip_sec / (step_bytes / (_V5E_HBM_GBPS * 1e9)), 1)
+        return {
+            "device_loop_audio_sec_per_sec": round(med, 1),
+            "device_loop_spread": round(spread, 3),
+            "device_loop_iters": K,
+            "hbm_program_bytes": (hbm_one if hbm_one is not None
+                                  else _hbm_program_bytes(compiled)),
+            "roofline_audio_sec_per_sec_est": roofline,
         }
 
     if args.quick:
@@ -220,6 +324,10 @@ def main() -> None:
 
     stages = stage_breakdown(B)
     print(f"# stages per batch: {stages}", file=sys.stderr)
+
+    loop_stats = device_loop(B, K=2 if args.quick else 16,
+                             trials=2 if args.quick else 5)
+    print(f"# device loop: {loop_stats}", file=sys.stderr)
 
     # secondary primary metric (BASELINE.md): p50 per-file latency (B=1),
     # container-decode included
@@ -393,6 +501,61 @@ def main() -> None:
             f"{engine_cpu_tpu_agreement} (cpu {fc_cpu} vs tpu {fc_tpu})"
         )
 
+    # The headline canary covers the classifier config only; the bf16 class
+    # of bug could still hide in the non-headline engines (VERDICT r3 item
+    # 8).  Two more small CPU<->TPU checks: the full suppressor (gain ->
+    # S_hat -> ISTFT -> y exercises the gain EMA scan + complex STFT) and
+    # the firmware band-noise estimator (IIR prefilters + TTL ring scan).
+    suppress_cpu_tpu_dev = None
+    band_noise_cpu_tpu_agreement = None
+    if jax.default_backend() == "tpu":
+        sup_canary_cfg = build_noise_config(FS, {
+            "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+            "compute_output_audio": True,
+        })
+        sup_canary = SpectralNoiseEngine(sup_canary_cfg)
+
+        def sup_fn(xb):
+            out = jax.vmap(lambda x: sup_canary._trace_single(x, FS))(xb)
+            return out["y"], out["frame_class"]
+
+        xs = jnp.asarray((rng.standard_normal((2, FS)) * 0.05
+                          ).astype(np.float32))
+        y_t, fc_t = (np.asarray(a) for a in jax.jit(sup_fn)(xs))
+        with jax.default_device(jax.devices("cpu")[0]):
+            y_c, fc_c = (np.asarray(a) for a in
+                         jax.jit(sup_fn, backend="cpu")(xs))
+        suppress_cpu_tpu_dev = float(
+            np.max(np.abs(y_t - y_c)) / max(float(np.abs(y_c).max()), 1e-30))
+        fc_agree = float((fc_t == fc_c).mean())
+        print(f"# suppressor cpu/tpu: y rel dev {suppress_cpu_tpu_dev:.2e}, "
+              f"frame agreement {fc_agree:.4f}", file=sys.stderr)
+        assert suppress_cpu_tpu_dev < 1e-3 and fc_agree >= 0.99, (
+            f"suppressor TPU numerics drift: y dev {suppress_cpu_tpu_dev:.2e}"
+            f", frame agreement {fc_agree}"
+        )
+
+        from audio_processing_tools_tpu.models.band_noise import (
+            BandNoiseEstimatorConfig,
+            band_noise_process,
+        )
+
+        bn_cfg = BandNoiseEstimatorConfig()
+        bn_x = jnp.asarray((rng.standard_normal(FS * 2) * 0.05
+                            ).astype(np.float32))
+        bn_fn = lambda v: band_noise_process(v, bn_cfg)["fft_rain_frame"]
+        bn_t = np.asarray(jax.jit(bn_fn)(bn_x))
+        with jax.default_device(jax.devices("cpu")[0]):
+            bn_c = np.asarray(jax.jit(bn_fn, backend="cpu")(bn_x))
+        band_noise_cpu_tpu_agreement = float(
+            (bn_t.astype(bool) == bn_c.astype(bool)).mean())
+        print(f"# band-noise cpu/tpu frame agreement: "
+              f"{band_noise_cpu_tpu_agreement:.4f}", file=sys.stderr)
+        assert band_noise_cpu_tpu_agreement >= 0.99, (
+            f"band-noise TPU numerics drift: agreement "
+            f"{band_noise_cpu_tpu_agreement}"
+        )
+
     # Pallas-vs-XLA spectrogram parity, captured on hardware every run
     # (BASELINE.md bound: <1e-5 normalized max deviation)
     pallas_dev = None
@@ -413,7 +576,7 @@ def main() -> None:
             f"Pallas spectrogram parity regression: {pallas_dev:.2e} >= 1e-5"
         )
 
-    print(json.dumps({
+    artifact = {
         "metric": "audio-hours/hour/chip (decode->STFT->rain features)",
         "value": best_rate,
         "unit": "audio-hours/hour",
@@ -423,6 +586,7 @@ def main() -> None:
         "clip_sec": args.clip_sec,
         "p50_file_latency_ms": round(p50_ms, 1),
         **stages,
+        **loop_stats,
         "alac_value": alac_rate,
         "alac_vs_baseline": (round(alac_rate / 500.0, 3)
                              if alac_rate is not None else None),
@@ -432,10 +596,15 @@ def main() -> None:
         "stream_value": stream_rate,
         "pallas_max_rel_dev": pallas_dev,
         "engine_cpu_tpu_frame_agreement": engine_cpu_tpu_agreement,
+        "suppress_cpu_tpu_y_rel_dev": suppress_cpu_tpu_dev,
+        "band_noise_cpu_tpu_frame_agreement": band_noise_cpu_tpu_agreement,
         "codec": "pcm+alac" if alac_rate is not None else "pcm",
         "hbm_bytes_in_use": _hbm_in_use(jax),
         "backend": jax.default_backend(),
-    }))
+    }
+    if not args.quick:
+        validate_full_artifact(artifact, subbench=not args.no_subbench)
+    print(json.dumps(artifact))
 
 
 if __name__ == "__main__":

@@ -46,3 +46,79 @@ def test_bench_quick_stream_value_is_realtime_capable(bench_json):
     # 8 quick-mode streams of 2 s chunks: even the CPU smoke must beat
     # realtime (8 streams x 1x) comfortably, else serving claims are hollow
     assert bench_json["stream_value"] > 8 * 2
+
+
+# ---------------------------------------------------------------------------
+# FULL-run contract (VERDICT r3 item 8): bench.py asserts its own artifact
+# before printing, so a silent sub-bench regression (e.g. a missing ALAC
+# shim nulling alac_value) FAILS the run instead of producing a "valid"
+# JSON.  The validator is exercised here directly; the last real hardware
+# artifact is also checked against it.
+
+
+def _bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _complete_artifact():
+    vals = {k: 1.0 for k in (
+        "value", "p50_file_latency_ms", "decode_ms", "h2d_ms", "compute_ms",
+        "device_loop_audio_sec_per_sec", "hbm_program_bytes",
+        "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
+        "stream_value", "pallas_max_rel_dev",
+        "engine_cpu_tpu_frame_agreement", "suppress_cpu_tpu_y_rel_dev",
+        "band_noise_cpu_tpu_frame_agreement", "roofline_audio_sec_per_sec_est",
+    )}
+    vals["backend"] = "tpu"
+    return vals
+
+
+def test_full_artifact_validator_accepts_complete():
+    _bench_module().validate_full_artifact(_complete_artifact())
+
+
+@pytest.mark.parametrize("broken", [
+    "alac_value", "suppress_value", "mel_value", "stream_value",
+    "device_loop_audio_sec_per_sec", "hbm_program_bytes",
+    "engine_cpu_tpu_frame_agreement", "band_noise_cpu_tpu_frame_agreement",
+])
+def test_full_artifact_validator_rejects_null_field(broken):
+    bench = _bench_module()
+    art = _complete_artifact()
+    art[broken] = None
+    with pytest.raises(AssertionError, match=broken):
+        bench.validate_full_artifact(art)
+
+
+def test_full_artifact_validator_no_subbench_optout():
+    bench = _bench_module()
+    art = _complete_artifact()
+    art["alac_value"] = None       # relaxed only under the explicit opt-out
+    bench.validate_full_artifact(art, subbench=False)
+    with pytest.raises(AssertionError):
+        bench.validate_full_artifact(art)
+
+
+def test_latest_hardware_artifact_is_complete():
+    """The most recent driver-recorded BENCH_r*.json must satisfy the
+    full-run contract (guards against committing a regressed artifact)."""
+    import glob
+    import json as _json
+
+    arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not arts:
+        pytest.skip("no driver artifacts present")
+    with open(arts[-1]) as f:
+        payload = _json.load(f)
+    j = payload.get("parsed", payload)
+    # artifacts recorded before the r4 contract lack the newer fields; only
+    # enforce once an artifact carrying them exists
+    if "device_loop_audio_sec_per_sec" not in j:
+        pytest.skip(f"{arts[-1]} predates the full-run contract")
+    _bench_module().validate_full_artifact(j)
