@@ -62,24 +62,25 @@ def _mode_union_mask(freqs_band: np.ndarray, mode_bands) -> np.ndarray:
     return mask
 
 
-def compute_gain(
+_GAIN_NOISE_TH = 0.7  # noise-conf knee for adaptive oversubtraction
+
+
+def gain_freq_stage(
     cfg: NoiseConfig,
     P_band: jnp.ndarray,       # (K, T)
     N_band: jnp.ndarray,       # (K, T)
     noise_conf: jnp.ndarray,   # (T,)
     snr_gate: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Adaptive suppression gain (``edge/rain_signal_processor.py:400-533``).
-
-    Oversubtraction scales with "noise-ness" above th=0.7; frequency
-    smoothing applies only on noise-like frames; temporal smoothing is a
-    causal EMA scan with rain-frame protection.
-    """
+    """Per-frame part of the suppression gain: oversubtraction + raw gain +
+    frequency smoothing.  Purely frame-local, so the streaming suppressor
+    (``models/streaming.py``) reuses it verbatim ahead of its carried
+    temporal-smoothing scan."""
     eps = cfg.eps
     K, T = P_band.shape
     noise_conf = jnp.clip(noise_conf, 0.0, 1.0)
     adaptive = bool(cfg.adaptive_gain_enable)
-    th = 0.7
+    th = _GAIN_NOISE_TH
     denom = max(1e-9, 1.0 - th)
 
     if adaptive:
@@ -120,8 +121,16 @@ def compute_gain(
             G_freq = G_conv
     else:
         G_freq = G_raw
+    return G_freq
 
-    # ---- temporal smoothing scan ----
+
+def gain_time_step(cfg: NoiseConfig):
+    """The causal temporal-smoothing EMA step (rain-frame protected when
+    adaptive).  Shared by the offline whole-clip scan below and the
+    streaming suppressor's carried chunk scan."""
+    adaptive = bool(cfg.adaptive_gain_enable)
+    th = _GAIN_NOISE_TH
+    denom = max(1e-9, 1.0 - th)
     alpha_base = float(np.clip(cfg.gain_smooth_alpha, 0.0, 1.0))
 
     def step(G_prev, inp):
@@ -134,6 +143,27 @@ def compute_gain(
         else:
             G_t = alpha_base * G_prev + (1.0 - alpha_base) * G_f_t
         return G_t, G_t
+
+    return step
+
+
+def compute_gain(
+    cfg: NoiseConfig,
+    P_band: jnp.ndarray,       # (K, T)
+    N_band: jnp.ndarray,       # (K, T)
+    noise_conf: jnp.ndarray,   # (T,)
+    snr_gate: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Adaptive suppression gain (``edge/rain_signal_processor.py:400-533``).
+
+    Oversubtraction scales with "noise-ness" above th=0.7; frequency
+    smoothing applies only on noise-like frames; temporal smoothing is a
+    causal EMA scan with rain-frame protection.
+    """
+    _K, T = P_band.shape
+    noise_conf = jnp.clip(noise_conf, 0.0, 1.0)
+    G_freq = gain_freq_stage(cfg, P_band, N_band, noise_conf, snr_gate)
+    step = gain_time_step(cfg)
 
     if T > 1:
         _, G_rest = jax.lax.scan(

@@ -32,12 +32,17 @@ from audio_processing_tools_tpu.models.frame_classifier import (
     build_prefilter_sos,
     rain_frame_decision,
 )
+from audio_processing_tools_tpu.models.spectral_noise import (
+    gain_freq_stage,
+    gain_time_step,
+)
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
 from audio_processing_tools_tpu.ops.windows import hann_window
 from audio_processing_tools_tpu.ops.filters import sosfilt
 from audio_processing_tools_tpu.ops.stats import kurtosis, crest_factor, nan_to_num
 from audio_processing_tools_tpu.ops.trackers import (
     make_psd_params,
+    make_psd_track_step,
     noise_psd_track_chunk,
     causal_low_quantile_baseline_chunk,
 )
@@ -102,6 +107,51 @@ class StreamingRainDetector:
             td_sos = build_prefilter_sos(cfg, sr, td_mode)
         return (sr, n_fft, hop, band_rows, mode_masks, fps, psd_params, td_sos)
 
+    # ------------------------------------------------------------------
+    @property
+    def emit_audio(self) -> bool:
+        """True when chunks also return denoised audio (``y``)."""
+        return bool(self.cfg.compute_output_audio)
+
+    @property
+    def audio_delay_samples(self) -> int:
+        """Constant latency of the emitted denoised audio vs the input
+        stream: the OLA-ISTFT can only finalize a sample once every frame
+        overlapping it has been processed, i.e. ``n_fft - hop`` samples
+        (~23 ms at the default 256/128 @ 11162 Hz)."""
+        return int(self.cfg.n_fft - self.cfg.hop)
+
+    def _audio_static(self):
+        """Trace-time constants for the causal suppressor output path."""
+        cfg = self.cfg
+        if cfg.n_fft != 2 * cfg.hop:
+            raise ValueError(
+                "streaming audio output requires 50% overlap (n_fft == "
+                f"2*hop); got n_fft={cfg.n_fft} hop={cfg.hop}"
+            )
+        for knob in ("pre_smooth_frames", "median_frames"):
+            if int(getattr(cfg, knob, 0) or 0) > 1:
+                raise ValueError(
+                    f"streaming audio output does not support {knob} "
+                    "(acausal-window smoothing); clear it or use the "
+                    "offline engine"
+                )
+        w = np.asarray(hann_window(cfg.n_fft), np.float64)
+        hop = cfg.hop
+        # steady-state weighted-OLA normalizer: periodic with period hop.
+        # Shipped as a RECIPROCAL constant and applied by multiply — XLA's
+        # CPU division lowers differently per shape (measured 2e-7 drift
+        # between tile sizes), which would break bitwise chunk invariance.
+        ws = np.zeros(hop)
+        for j in range(cfg.n_fft // hop):
+            ws += w[j * hop : (j + 1) * hop] ** 2
+        inv_ws = np.asarray(1.0 / ws, np.float32)
+        # the carried tail (stream end) is covered only by the last frame's
+        # second half
+        inv_ws_tail = np.asarray(1.0 / np.maximum(w[hop:] ** 2, 1e-12),
+                                 np.float32)
+        return (np.asarray(w, np.float32), inv_ws, inv_ws_tail)
+
     def init_state(self) -> Dict[str, Any]:
         """Fresh stream state (all carries at their pre-first-sample values)."""
         cfg = self.cfg
@@ -133,6 +183,15 @@ class StreamingRainDetector:
         }
         if td_sos is not None:
             state["td_zi"] = jnp.zeros((td_sos.shape[0], 2), jnp.float32)
+        if self.emit_audio:
+            self._audio_static()  # validate the config eagerly
+            state["sup_psd"] = (
+                jnp.zeros((K,), jnp.float32), jnp.zeros((K,), jnp.float32),
+                jnp.zeros((K,), jnp.float32), jnp.int32(0), jnp.float32(0),
+                jnp.asarray(True),
+            )
+            state["gain_prev"] = jnp.zeros((K,), jnp.float32)
+            state["ola_tail"] = jnp.zeros((cfg.n_fft - hop,), jnp.float32)
         return state
 
     # ------------------------------------------------------------------
@@ -266,6 +325,95 @@ class StreamingRainDetector:
         )
         frame_class = jnp.where(is_rain, jnp.int8(FrameClass.RAIN), frame_class)
 
+        # ---- causal suppressor output (y = OLA-ISTFT(G * S)) ----
+        # Offline product: edge/rain_signal_processor.py:1085-1125.  Every
+        # stage is chunk-causal: a second noise tracker fed the frame
+        # decisions (is_rain_for_psd = ~is_noise, the offline semantics),
+        # the shared per-frame gain stage, the temporal-smoothing EMA, and a
+        # weighted-OLA inverse STFT whose half-window tail is carried — so
+        # the emitted audio lags the input by exactly
+        # ``audio_delay_samples`` and is BIT-identical under any chunking.
+        #
+        # Bitwise invariance demands one unusual structural choice: the
+        # whole per-frame tail (tracker -> gain -> S_hat -> iFFT -> OLA)
+        # runs as a SINGLE ``lax.scan`` whose body is fenced with
+        # ``optimization_barrier``.  Batched formulations are faster on
+        # paper, but XLA fuses/contracts them differently per chunk shape
+        # (measured 1-ulp drift between chunkings, e.g. division lowering
+        # and excess-precision FMA); a fenced scan body compiles to the
+        # same float sequence for every T_c.
+        y_chunk = None
+        if self.emit_audio:
+            _w_np, inv_ws, _inv_ws_tail = self._audio_static()
+            is_noise_f = frame_class == jnp.int8(FrameClass.NOISE)
+            s_trk, s_scl, s_pN, s_wc, s_rema, s_first = state["sup_psd"]
+            s_trk = jnp.where(s_first, jnp.maximum(P_band[0], 0.0), s_trk)
+            s_scl = jnp.where(
+                s_first, jnp.maximum(jnp.abs(P_band[0]), step_floor), s_scl
+            )
+            sup0 = (s_trk, s_scl, s_pN, s_wc, s_rema, s_first)
+            psd_step = make_psd_track_step(psd_params)
+            gstep = gain_time_step(cfg)
+            inv_ws_c = jnp.asarray(inv_ws)
+            use_lagged = bool(cfg.use_lagged_noise_psd)
+            snr_cols = None
+            if bool(cfg.snr_gating_enable):
+                mm = (mode_masks.any(axis=0)
+                      if bool(cfg.snr_gating_use_mode_bands)
+                      else np.ones(P_band.shape[-1], bool))
+                if not mm.any():
+                    mm = np.ones(P_band.shape[-1], bool)
+                snr_cols = np.flatnonzero(mm)
+                snr1 = max(1e-9, float(cfg.snr_gating_snr1))
+                snr_pwr = float(cfg.snr_gating_power)
+
+            def sup_step(carry, inp):
+                carry = jax.lax.optimization_barrier(carry)
+                inp = jax.lax.optimization_barrier(inp)
+                psd_c, G_prev, ola_prev = carry
+                P_t, rain_t, nc_t, seed_t, spec_t = inp
+                prev_N = psd_c[2]  # N at t-1 (for the lagged variant)
+                psd_c, N_t = psd_step(psd_c, (P_t, rain_t))
+                N_used = jnp.where(seed_t, N_t, prev_N) if use_lagged else N_t
+                N_eff = jnp.minimum(N_used, maxr * P_t)
+                gate_t = None
+                if snr_cols is not None:
+                    snr_m = jnp.sum(P_t[snr_cols]) / (
+                        jnp.sum(N_eff[snr_cols]) + eps
+                    )
+                    gate_t = snr_m / (snr_m + snr1)
+                    if snr_pwr != 1.0 and np.isfinite(snr_pwr) and snr_pwr > 0:
+                        gate_t = jnp.power(jnp.clip(gate_t, 0.0, 1.0), snr_pwr)
+                    gate_t = jnp.clip(gate_t, 0.0, 1.0)[None]
+                G_f = gain_freq_stage(
+                    cfg, P_t[:, None], N_eff[:, None], nc_t[None], gate_t
+                )[:, 0]
+                G_t, _ = gstep(G_prev, (G_f, nc_t))
+                # the stream's very first frame takes the unsmoothed gain
+                # (offline scan-init semantics)
+                G_t = jnp.where(seed_t, G_f, G_t)
+                G_out = jnp.clip(G_t, cfg.gain_floor, cfg.gain_ceil)
+                S_t = spec_t.at[band_rows].set(spec_t[band_rows] * G_out)
+                recon_t = (jnp.fft.irfft(S_t, n=n_fft)
+                           .astype(jnp.float32) * w)
+                y_t = (recon_t[:hop] + ola_prev) * inv_ws_c
+                new_carry = (psd_c, G_t, recon_t[hop:])
+                new_carry, y_t = jax.lax.optimization_barrier(
+                    (new_carry, y_t)
+                )
+                return new_carry, y_t
+
+            carry0 = (sup0, state["gain_prev"], state["ola_tail"])
+            (sup_c, gain_c, ola_c), y_frames = jax.lax.scan(
+                sup_step, carry0,
+                (P_band, ~is_noise_f, noise_conf, gidx == 0, spec),
+                unroll=1,
+            )
+            state["sup_psd"] = sup_c
+            state["gain_prev"] = gain_c
+            state["ola_tail"] = ola_c
+            y_chunk = y_frames.reshape(-1)
+
         times = (state["frame_idx"] + jnp.arange(T_c)).astype(jnp.float32) * (
             hop / float(sr)
         )
@@ -282,7 +430,20 @@ class StreamingRainDetector:
             "mode_flux_score": score_all,
             "noise_psd_band": N_band,
         }
+        if y_chunk is not None:
+            out["y"] = y_chunk
         return state, out
+
+    # ------------------------------------------------------------------
+    def drain_audio(self, state: Dict[str, Any]) -> np.ndarray:
+        """Flush the final ``n_fft - hop`` carried OLA samples at stream
+        end (best effort: the tail is covered only by the last frame's
+        window half, so it is normalized by that partial window sum)."""
+        if not self.emit_audio:
+            raise ValueError("detector was not configured with "
+                             "compute_output_audio")
+        _w, _inv_ws, inv_ws_tail = self._audio_static()
+        return np.asarray(state["ola_tail"]) * inv_ws_tail
 
     # ------------------------------------------------------------------
     def process_chunk(self, state: Dict[str, Any], chunk) -> Tuple[Dict[str, Any],

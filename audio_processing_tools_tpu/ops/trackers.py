@@ -318,23 +318,18 @@ def psd_carry_init(first_band_frame: jnp.ndarray, params: PsdTrackParams):
     )
 
 
-def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
-                          carry, params: PsdTrackParams):
-    """One chunk of the PSD tracker with explicit carry.
+def make_psd_track_step(params: PsdTrackParams):
+    """The PSD tracker's single-frame transition, exposed so callers that
+    fuse several per-frame stages into ONE scan body (the streaming
+    suppressor) use bit-identical math to :func:`noise_psd_track_chunk`.
 
-    ``carry`` from :func:`psd_carry_init` (or a previous chunk).  Threading
-    carries across chunks reproduces :func:`noise_psd_track` on the
-    concatenated signal.  Returns ``(N_band, new_carry)``.
+    Returns ``step(carry, (P_t, rain_t)) -> (new_carry, N_t)``.
     """
     p = params
     eta = float(np.clip(2.0 / max(p.W + 1, 2), 1e-4, 1.0))
     scale_alpha = float(p.ema_down)
     step_floor = float(max(p.eps, 1e-9))
     warmup_need = max(10, p.W // 2)
-
-    P_band = P_band.astype(jnp.float32)
-    PT = jnp.moveaxis(P_band, -1, 0)
-    rT = jnp.moveaxis(is_rain.astype(bool), -1, 0)
 
     def step(carry_in, inp):
         tracker, scale, prev_N, wcount, rain_ema, is_first = carry_in
@@ -350,7 +345,8 @@ def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
             q_eff = jnp.clip(q_eff, p.adaptive_q_min, p.q)[..., None]
         else:
             q_eff = p.q
-        delta = jnp.where(Pt >= tracker, q_eff * step_sz, -(1.0 - q_eff) * step_sz)
+        delta = jnp.where(Pt >= tracker, q_eff * step_sz,
+                          -(1.0 - q_eff) * step_sz)
         candidate = jnp.maximum(tracker + delta, 0.0)
         tracker_upd = jnp.where(allow_f, candidate, tracker)
 
@@ -372,5 +368,20 @@ def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
                      jnp.asarray(False))
         return new_carry, N
 
-    new_carry, Ns = jax.lax.scan(step, carry, (PT, rT), unroll=8)
+    return step
+
+
+def noise_psd_track_chunk(P_band: jnp.ndarray, is_rain: jnp.ndarray,
+                          carry, params: PsdTrackParams, *, unroll: int = 8):
+    """One chunk of the PSD tracker with explicit carry.
+
+    ``carry`` from :func:`psd_carry_init` (or a previous chunk).  Threading
+    carries across chunks reproduces :func:`noise_psd_track` on the
+    concatenated signal.  Returns ``(N_band, new_carry)``.
+    """
+    P_band = P_band.astype(jnp.float32)
+    PT = jnp.moveaxis(P_band, -1, 0)
+    rT = jnp.moveaxis(is_rain.astype(bool), -1, 0)
+    step = make_psd_track_step(params)
+    new_carry, Ns = jax.lax.scan(step, carry, (PT, rT), unroll=unroll)
     return jnp.moveaxis(Ns, 0, -1), new_carry
