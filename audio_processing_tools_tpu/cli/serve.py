@@ -19,6 +19,17 @@ request  := b"APT1" + uint32le(n_bytes) + n_bytes of int16-LE PCM
 eos      := b"APT0" + uint32le(0)
 response := one JSON line per request (and a final summary line for eos)
 
+With ``--emit-audio`` the server additionally streams DENOISED audio back
+(the causal suppressor product ``y = OLA-ISTFT(G*S)``, reference
+``edge/rain_signal_processor.py:1113-1125``; for ``--model band_noise``
+the firmware estimator's per-frame Wiener gain applied to the frame,
+``band_noise_estimator.py:949-956``): each JSON line then carries
+``audio_samples`` and is followed by one binary blob
+``b"APTA" + uint32le(n_bytes) + int16-LE PCM``.  The eos summary is
+followed by the drained OLA tail.  The spectral audio lags the input by a
+constant ``audio_delay_samples`` (~23 ms) and is bit-identical for any
+packetization (``tests/test_streaming_audio.py``).
+
 Samples may arrive in any quantity; the server buffers to the detector's
 hop boundary and carries the remainder, so packetization never changes
 results. Each connection gets fresh stream state; the jitted chunk
@@ -44,10 +55,16 @@ import numpy as np
 
 MAGIC_DATA = b"APT1"
 MAGIC_EOS = b"APT0"
+MAGIC_AUDIO = b"APTA"
 _HDR = struct.Struct("<4sI")
 MAX_PACKET_BYTES = 64 << 20
 
 INT16_SCALE = 32767.0
+
+
+def _to_pcm16(y: np.ndarray) -> np.ndarray:
+    return np.clip(np.asarray(y, np.float32) * INT16_SCALE,
+                   -32768, 32767).astype("<i2")
 
 
 def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -68,13 +85,17 @@ class _SpectralService:
     ``frames`` and ``rain_frames`` plus model-specific extras.
     """
 
-    def __init__(self, params: Dict[str, Any]):
+    def __init__(self, params: Dict[str, Any], emit_audio: bool = False):
         from audio_processing_tools_tpu.models.streaming import (
             StreamingRainDetector,
         )
 
+        p = dict(params)
+        if emit_audio:
+            p["compute_output_audio"] = True
+        self.emit_audio = emit_audio
         self.det = StreamingRainDetector()
-        self.det.setup(dict(params))
+        self.det.setup(p)
         self.block = int(self.det.cfg.hop)
         self.min_event_frames = max(
             1, int(params.get("clip_rain_min_frames", 3))
@@ -85,6 +106,13 @@ class _SpectralService:
         with self.lock:
             return self.det.init_state()
 
+    def drain(self, state) -> np.ndarray:
+        """Final OLA tail at stream end (empty when audio is off)."""
+        if not self.emit_audio:
+            return np.zeros(0, "<i2")
+        with self.lock:
+            return _to_pcm16(self.det.drain_audio(state))
+
     def process(self, state, samples: np.ndarray):
         import jax
 
@@ -93,18 +121,20 @@ class _SpectralService:
         out = jax.tree_util.tree_map(np.asarray, out)
         return state, self._fields(out)
 
-    @staticmethod
-    def _fields(out) -> Dict[str, Any]:
+    def _fields(self, out) -> Dict[str, Any]:
         from audio_processing_tools_tpu.models.frame_classifier import (
             FrameClass,
         )
 
         fc = np.asarray(out["frame_class"])
-        return {
+        fields = {
             "frames": int(fc.size),
             "rain_frames": int(np.sum(fc == int(FrameClass.RAIN))),
             "rain_conf_mean": float(np.mean(np.asarray(out["rain_conf"]))),
         }
+        if self.emit_audio:
+            fields["_audio"] = _to_pcm16(out["y"])
+        return fields
 
     def process_many(self, states, sample_rows):
         """Batched fast path: one vmapped device program for B lockstep
@@ -136,7 +166,7 @@ class _BandNoiseService:
     """Streaming band-noise estimator (``edge/band_noise_estimator.py``
     semantics): per-frame FFT-rain decisions + Wiener telemetry."""
 
-    def __init__(self, params: Dict[str, Any]):
+    def __init__(self, params: Dict[str, Any], emit_audio: bool = False):
         from audio_processing_tools_tpu.models.band_noise import (
             band_noise_init_state,
             band_noise_process_chunk,
@@ -144,6 +174,7 @@ class _BandNoiseService:
         )
 
         self.cfg = build_band_noise_config(dict(params))
+        self.emit_audio = emit_audio
         self._init_state = band_noise_init_state
         self._chunk = band_noise_process_chunk
         self.block = int(self.cfg.frame_len)
@@ -155,26 +186,38 @@ class _BandNoiseService:
     def new_state(self):
         return self._init_state(self.cfg)
 
+    def drain(self, _state) -> np.ndarray:
+        return np.zeros(0, "<i2")  # per-frame gain: nothing buffered
+
     def process(self, state, samples: np.ndarray):
         import jax
         import jax.numpy as jnp
 
+        samples = np.asarray(samples, np.float32)
         with self.lock:
             outs, state = self._chunk(
-                jnp.asarray(np.asarray(samples, np.float32)), self.cfg, state
+                jnp.asarray(samples), self.cfg, state
             )
         outs = jax.tree_util.tree_map(np.asarray, outs)
-        return state, self._fields(outs)
+        return state, self._fields(outs, samples)
 
-    @staticmethod
-    def _fields(outs) -> Dict[str, Any]:
+    def _fields(self, outs, samples=None) -> Dict[str, Any]:
         rain = np.asarray(outs["fft_rain_frame"]).astype(bool)
-        return {
+        fields = {
             "frames": int(rain.size),
             "rain_frames": int(rain.sum()),
             "N_E_last": float(np.asarray(outs["N_E"])[-1]),
             "G_mag_mean": float(np.mean(np.asarray(outs["G_mag"]))),
         }
+        if self.emit_audio and samples is not None:
+            # the firmware estimator's Wiener gain is a per-frame band
+            # magnitude scalar (M_clean = G_mag * M_band, reference
+            # band_noise_estimator.py:949-956); its time-domain rendering
+            # applies that gain to the frame — zero added latency
+            g = np.asarray(outs["G_mag"], np.float32)
+            frames = samples.reshape(g.size, -1)
+            fields["_audio"] = _to_pcm16((frames * g[:, None]).reshape(-1))
+        return fields
 
     def process_many(self, states, sample_rows):
         """Batched fast path: vmap the (bit-identical) chunked engine over
@@ -204,7 +247,10 @@ class _BandNoiseService:
             for i in range(B)
         ]
         fields = [
-            self._fields(jax.tree_util.tree_map(lambda a, i=i: a[i], outs))
+            self._fields(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], outs),
+                np.asarray(sample_rows[i], np.float32),
+            )
             for i in range(B)
         ]
         return new_states, fields
@@ -315,14 +361,22 @@ class _StreamHandler(socketserver.BaseRequestHandler):
                 self._send({"error": "bad packet header"})
                 return
             if magic == MAGIC_EOS:
-                self._send({
+                tail = (svc.drain(state) if hasattr(svc, "drain")
+                        else np.zeros(0, "<i2"))
+                summary = {
                     "eos": True,
                     "chunks": chunk_idx,
                     "frames": total_frames,
                     "rain_frames": total_rain,
                     "stream_is_rain": total_rain >= svc.min_event_frames,
                     "dropped_tail_samples": int(pending.size),
-                })
+                }
+                if getattr(svc, "emit_audio", False):
+                    summary["audio_samples"] = int(tail.size)
+                    self._send(summary)
+                    self._send_audio(tail)
+                else:
+                    self._send(summary)
                 return
             payload = _recv_exact(self.request, n_bytes)
             if payload is None:
@@ -336,10 +390,16 @@ class _StreamHandler(socketserver.BaseRequestHandler):
 
             usable = pending.size // svc.block * svc.block
             if usable == 0:
-                self._send({
+                empty = {
                     "chunk": chunk_idx, "frames": 0, "rain_frames": 0,
                     "buffered_samples": int(pending.size),
-                })
+                }
+                if getattr(svc, "emit_audio", False):
+                    empty["audio_samples"] = 0
+                    self._send(empty)
+                    self._send_audio(np.zeros(0, "<i2"))
+                else:
+                    self._send(empty)
                 chunk_idx += 1
                 continue
             piece, pending = pending[:usable], pending[usable:]
@@ -348,19 +408,30 @@ class _StreamHandler(socketserver.BaseRequestHandler):
                 state, fields = batcher.submit(state, piece)
             else:
                 state, fields = svc.process(state, piece)
+            audio = fields.pop("_audio", None)
             total_frames += fields["frames"]
             total_rain += fields["rain_frames"]
-            self._send({
+            reply = {
                 "chunk": chunk_idx,
                 **fields,
                 "stream_rain_frames": total_rain,
                 "event": total_rain >= svc.min_event_frames,
                 "buffered_samples": int(pending.size),
-            })
+            }
+            if audio is not None:
+                reply["audio_samples"] = int(audio.size)
+                self._send(reply)
+                self._send_audio(audio)
+            else:
+                self._send(reply)
             chunk_idx += 1
 
     def _send(self, obj: Dict[str, Any]) -> None:
         self.request.sendall(json.dumps(obj).encode() + b"\n")
+
+    def _send_audio(self, pcm: np.ndarray) -> None:
+        blob = np.ascontiguousarray(pcm).tobytes()
+        self.request.sendall(_HDR.pack(MAGIC_AUDIO, len(blob)) + blob)
 
 
 class _TcpServer(socketserver.ThreadingTCPServer):
@@ -374,14 +445,16 @@ class _UnixServer(socketserver.ThreadingUnixStreamServer):
 
 def make_server(params: Dict[str, Any], *, host: str = "127.0.0.1",
                 port: int = 0, unix_path: Optional[str] = None,
-                model: str = "spectral", batch_window_ms: float = 0.0):
+                model: str = "spectral", batch_window_ms: float = 0.0,
+                emit_audio: bool = False):
     """Build (not start) a server; ``.server_address`` has the bound port.
 
     ``batch_window_ms`` > 0 enables dynamic batching: concurrent
     connections whose chunks arrive within the window run as ONE vmapped
     device program (throughput mode; adds up to one window of latency).
+    ``emit_audio`` streams denoised PCM back after every JSON reply.
     """
-    svc = _SERVICES[model](params)
+    svc = _SERVICES[model](params, emit_audio=emit_audio)
     if unix_path:
         srv = _UnixServer(unix_path, _StreamHandler)
     else:
@@ -430,12 +503,22 @@ def stream_file(path: str, *, host: str = "127.0.0.1", port: int = 8765,
         sock = socket.create_connection((host, port), timeout=600)
     with sock:
         f = sock.makefile("rb")
+
+        def read_reply():
+            reply = json.loads(f.readline())
+            if "audio_samples" in reply:
+                hdr = f.read(_HDR.size)
+                magic, n_bytes = _HDR.unpack(hdr)
+                assert magic == MAGIC_AUDIO, magic
+                reply["audio"] = np.frombuffer(f.read(n_bytes), "<i2")
+            return reply
+
         for start in range(0, len(pcm), packet_samples):
             chunk = pcm[start : start + packet_samples].tobytes()
             sock.sendall(_HDR.pack(MAGIC_DATA, len(chunk)) + chunk)
-            yield json.loads(f.readline())
+            yield read_reply()
         sock.sendall(_HDR.pack(MAGIC_EOS, 0))
-        yield json.loads(f.readline())
+        yield read_reply()
 
 
 def main(argv=None) -> int:
@@ -463,6 +546,10 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="dynamic batching window: concurrent connections "
                          "coalesce into one vmapped device call (0 = off)")
+    ap.add_argument("--emit-audio", action="store_true",
+                    help="stream denoised PCM back (APTA blob after each "
+                         "JSON reply; spectral: causal suppressor OLA-ISTFT"
+                         ", band_noise: per-frame Wiener gain)")
     args = ap.parse_args(argv)
 
     if args.client:
@@ -491,7 +578,8 @@ def main(argv=None) -> int:
 
     srv = make_server(params, host=args.host, port=args.port,
                       unix_path=args.unix, model=args.model,
-                      batch_window_ms=args.batch_window_ms)
+                      batch_window_ms=args.batch_window_ms,
+                      emit_audio=args.emit_audio)
     where = args.unix or "%s:%d" % srv.server_address[:2]
     print(f"serving live rain detection on {where} "
           f"(model={args.model}, sample_rate={params['sample_rate']})",
