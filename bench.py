@@ -65,10 +65,11 @@ _V5E_HBM_GBPS = 819.0
 # must FAIL the artifact, not produce a "valid" one).  TPU runs additionally
 # require every hardware canary to have fired.
 FULL_RUN_REQUIRED = (
-    "value", "p50_file_latency_ms", "decode_ms", "h2d_ms", "compute_ms",
-    "device_loop_audio_sec_per_sec", "hbm_program_bytes",
+    "value", "mulaw_value", "p50_file_latency_ms", "decode_ms", "h2d_ms",
+    "compute_ms", "device_loop_audio_sec_per_sec", "hbm_program_bytes",
     "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
-    "stream_value",
+    "stream_value", "stream_p50_ms", "stream_p99_ms",
+    "stream_unbatched_value", "stream_audio_value",
 )
 TPU_RUN_REQUIRED = (
     "pallas_max_rel_dev", "engine_cpu_tpu_frame_agreement",
@@ -82,7 +83,8 @@ def validate_full_artifact(artifact: dict, *, subbench: bool = True) -> None:
     field names.  ``subbench=False`` (the explicit ``--no-subbench`` opt-out)
     relaxes only the sub-measurement fields."""
     sub = {"alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
-           "stream_value"}
+           "stream_value", "stream_p50_ms", "stream_p99_ms",
+           "stream_unbatched_value", "stream_audio_value"}
     required = [k for k in FULL_RUN_REQUIRED if subbench or k not in sub]
     if artifact.get("backend") == "tpu":
         required += list(TPU_RUN_REQUIRED)
@@ -130,18 +132,27 @@ def main() -> None:
     clip_len = int(FS * args.clip_sec)
     rng = np.random.default_rng(0)
 
-    def step_fn(pcm_i16):
-        # device-side decode tail: int16 -> float32 [-1, 1]
-        xb = pcm_i16.astype(jnp.float32) / 32767.0
-        out = jax.vmap(lambda x: eng._trace_single(x, FS))(xb)
-        fc = out["frame_class"]
-        return {
-            "rain_frame_count": jnp.sum(
-                fc == jnp.int8(FrameClass.RAIN), axis=-1
-            ).astype(jnp.int32),
-            "mean_rain_conf": jnp.mean(out["rain_conf"], axis=-1),
-        }
+    from audio_processing_tools_tpu.ops.wire import mulaw_decode, mulaw_encode
 
+    def make_step(wire):
+        def step_fn(pcm):
+            if wire == "mulaw":
+                # device-side expansion of the 1-byte/sample companded wire
+                xb = mulaw_decode(pcm) * (32768.0 / 32767.0)
+            else:
+                # device-side decode tail: int16 -> float32 [-1, 1]
+                xb = pcm.astype(jnp.float32) / 32767.0
+            out = jax.vmap(lambda x: eng._trace_single(x, FS))(xb)
+            fc = out["frame_class"]
+            return {
+                "rain_frame_count": jnp.sum(
+                    fc == jnp.int8(FrameClass.RAIN), axis=-1
+                ).astype(jnp.int32),
+                "mean_rain_conf": jnp.mean(out["rain_conf"], axis=-1),
+            }
+        return step_fn
+
+    step_fn = make_step("int16")
     step = jax.jit(step_fn)
 
     def make_mark_batch(B, file_version=0):
@@ -167,7 +178,8 @@ def main() -> None:
     # tunnel: transfer is host-blocking, so depth hides compute + fetch)
     DEPTH = 2
 
-    def run_pipelined(B, iters, step_fn_jit, file_version=0, fetch_key="rain_frame_count"):
+    def run_pipelined(B, iters, step_fn_jit, file_version=0,
+                      fetch_key="rain_frame_count", wire="int16"):
         """One pipelined run; returns audio-sec/sec."""
         from concurrent.futures import ThreadPoolExecutor
 
@@ -175,10 +187,20 @@ def main() -> None:
         # preallocated decode buffers (first-touch page faults on this host
         # cost seconds per 28 MB; reuse keeps decode at ~35 ms)
         mats = [np.empty((B, clip_len), np.int16) for _ in range(DEPTH + 1)]
+        enc = ([np.empty((B, clip_len), np.int8) for _ in range(DEPTH + 1)]
+               if wire == "mulaw" else None)
+
+        def host_prep(files, j):
+            """Container decode (+ optional wire companding) into buffer j."""
+            decode_batch(files, mats[j])
+            if enc is None:
+                return mats[j]
+            mulaw_encode(mats[j], enc[j])
+            return enc[j]
 
         # warm-up: compile + touch every buffer and both file sets
         for j in range(len(mats)):
-            r = step_fn_jit(jax.device_put(decode_batch(mark_batches[j % 2], mats[j])))
+            r = step_fn_jit(jax.device_put(host_prep(mark_batches[j % 2], j)))
         np.asarray(r[fetch_key])
 
         # decode + device_put both live on the worker thread: the main
@@ -186,20 +208,19 @@ def main() -> None:
         # measured +22% over main-thread puts on the tunnel.  Buffer safety:
         # mats[j] is reused only after the batch that used it has been
         # fetched (DEPTH=2 < len(mats)), which forces its transfer complete.
-        def decode_put(files, out):
-            decode_batch(files, out)
-            return jax.device_put(out)
+        def decode_put(files, j):
+            return jax.device_put(host_prep(files, j))
 
         pool = ThreadPoolExecutor(1)
         t0 = time.perf_counter()
-        fut = pool.submit(decode_put, mark_batches[0], mats[0])
+        fut = pool.submit(decode_put, mark_batches[0], 0)
         inflight = []
         for i in range(iters):
             d = fut.result()
             if i + 1 < iters:
                 fut = pool.submit(
                     decode_put, mark_batches[(i + 1) % 2],
-                    mats[(i + 1) % len(mats)],
+                    (i + 1) % len(mats),
                 )
             inflight.append(step_fn_jit(d))
             while len(inflight) > DEPTH:
@@ -322,6 +343,21 @@ def main() -> None:
         print(f"# run {r}: batch={B}: {rate:.0f} audio-sec/sec", file=sys.stderr)
     best_rate = max(runs)
 
+    # the same headline over the opt-in mu-law int8 wire (half the H2D
+    # bytes, device-side expansion; host pays one LUT gather per sample —
+    # ~194 ms/batch on this 1-core host, overlapped on the worker thread).
+    # Detection parity vs int16 is pinned corpus-wide in tests/test_wire.py
+    # (identical clip decisions on easy, 31/32 on hard: one near-threshold
+    # wind_gusty clip flips).
+    mulaw_step = jax.jit(make_step("mulaw"))
+    mulaw_runs = []
+    for r in range(1 if args.quick else repeats):
+        rate = run_pipelined(B, iters, mulaw_step, wire="mulaw")
+        mulaw_runs.append(round(rate, 1))
+        print(f"# mulaw run {r}: batch={B}: {rate:.0f} audio-sec/sec",
+              file=sys.stderr)
+    mulaw_rate = max(mulaw_runs)
+
     stages = stage_breakdown(B)
     print(f"# stages per batch: {stages}", file=sys.stderr)
 
@@ -349,6 +385,10 @@ def main() -> None:
     suppress_p50_ms = None
     mel_rate = None
     stream_rate = None
+    stream_p50_ms = None
+    stream_p99_ms = None
+    stream_unbatched_rate = None
+    stream_audio_rate = None
     if not args.no_subbench:
         # BASELINE config #2: real ALAC payloads; host decode = the fast
         # native decoder (libalac_fast.so) inside parse_mark_audio_file,
@@ -464,16 +504,79 @@ def main() -> None:
             st, p.astype(jnp.float32) / 32767.0))
         s_state, s_out = s_step(s_state, jax.device_put(s_pcm))
         np.asarray(s_out["frame_class"][0, 0])
-        s_best = float("inf")
-        for _ in range(2 if args.quick else 5):
+        s_lats = []
+        for _ in range(4 if args.quick else 30):
             t0 = time.perf_counter()
             s_state, s_out = s_step(s_state, jax.device_put(s_pcm))
             np.asarray(s_out["frame_class"][0, 0])
-            s_best = min(s_best, time.perf_counter() - t0)
+            s_lats.append(time.perf_counter() - t0)
+        s_best = min(s_lats)
         stream_rate = round(Bst * (s_chunk / FS) / s_best, 1)
+        # serving SLOs (VERDICT r3 item 7): per-step latency percentiles
+        # for the batched (vmapped) path — what the dynamic batcher
+        # (--batch-window-ms) dispatches per window
+        stream_p50_ms = round(float(np.percentile(s_lats, 50)) * 1e3, 1)
+        stream_p99_ms = round(float(np.percentile(s_lats, 99)) * 1e3, 1)
         print(f"# multi-stream: {Bst} live streams x 2s chunk: "
-              f"{s_best * 1e3:.1f} ms/step -> {stream_rate:.0f} audio-sec/sec",
+              f"{s_best * 1e3:.1f} ms/step best, p50 {stream_p50_ms} ms, "
+              f"p99 {stream_p99_ms} ms -> {stream_rate:.0f} audio-sec/sec",
               file=sys.stderr)
+
+        # WITHOUT batching: each stream is its own device dispatch (the
+        # per-connection path when no --batch-window-ms is set).  Measured
+        # on a subset and reported as audio-s/s so the batching win is on
+        # the record.
+        Bu = 2 if args.quick else 8
+        u_states = [sdet.init_state() for _ in range(Bu)]
+        u_step = jax.jit(lambda st, p: sdet._trace_chunk(
+            st, p.astype(jnp.float32) / 32767.0))
+        for i in range(Bu):
+            u_states[i], uo = u_step(u_states[i], jax.device_put(s_pcm[i]))
+        np.asarray(uo["frame_class"][0])
+        t0 = time.perf_counter()
+        reps_u = 1 if args.quick else 3
+        for _ in range(reps_u):
+            for i in range(Bu):
+                u_states[i], uo = u_step(
+                    u_states[i], jax.device_put(s_pcm[i]))
+                np.asarray(uo["frame_class"][0])
+        u_dt = (time.perf_counter() - t0) / reps_u
+        stream_unbatched_rate = round(Bu * (s_chunk / FS) / u_dt, 1)
+        print(f"# multi-stream unbatched: {Bu} sequential streams: "
+              f"{u_dt / Bu * 1e3:.1f} ms/stream-step -> "
+              f"{stream_unbatched_rate:.0f} audio-sec/sec", file=sys.stderr)
+
+        # stream-in -> denoised-audio-out (serve --emit-audio): the same
+        # lockstep batch with the causal suppressor engaged and the
+        # denoised int16 PCM fetched back per step (full wire cost)
+        adet = StreamingRainDetector()
+        adet.setup({
+            "sample_rate": FS,
+            "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+            "compute_output_audio": True,
+        })
+        a_state = adet.init_state_batch(Bst)
+
+        def a_fn(st, p):
+            st, out = jax.vmap(adet._trace_chunk)(
+                st, p.astype(jnp.float32) / 32767.0)
+            y16 = jnp.clip(out["y"] * 32767.0, -32768, 32767
+                           ).astype(jnp.int16)
+            return st, y16, out["frame_class"]
+
+        a_step = jax.jit(a_fn)
+        a_state, a_y, a_fc = a_step(a_state, jax.device_put(s_pcm))
+        np.asarray(a_y)
+        a_best = float("inf")
+        for _ in range(2 if args.quick else 5):
+            t0 = time.perf_counter()
+            a_state, a_y, a_fc = a_step(a_state, jax.device_put(s_pcm))
+            np.asarray(a_y)  # full denoised PCM comes back every step
+            a_best = min(a_best, time.perf_counter() - t0)
+        stream_audio_rate = round(Bst * (s_chunk / FS) / a_best, 1)
+        print(f"# multi-stream denoised audio out: {Bst} streams: "
+              f"{a_best * 1e3:.1f} ms/step -> {stream_audio_rate:.0f} "
+              f"audio-sec/sec", file=sys.stderr)
 
     # Hardware-numerics canary: the same jitted engine on TPU vs the CPU
     # backend must agree on every frame decision. TPU-only numerics bugs
@@ -582,6 +685,8 @@ def main() -> None:
         "unit": "audio-hours/hour",
         "vs_baseline": round(best_rate / 500.0, 3),
         "runs": runs,
+        "mulaw_value": mulaw_rate,
+        "mulaw_vs_int16": round(mulaw_rate / best_rate, 3),
         "batch": B,
         "clip_sec": args.clip_sec,
         "p50_file_latency_ms": round(p50_ms, 1),
@@ -594,6 +699,10 @@ def main() -> None:
         "suppress_p50_ms": suppress_p50_ms,
         "mel_value": mel_rate,
         "stream_value": stream_rate,
+        "stream_p50_ms": stream_p50_ms,
+        "stream_p99_ms": stream_p99_ms,
+        "stream_unbatched_value": stream_unbatched_rate,
+        "stream_audio_value": stream_audio_rate,
         "pallas_max_rel_dev": pallas_dev,
         "engine_cpu_tpu_frame_agreement": engine_cpu_tpu_agreement,
         "suppress_cpu_tpu_y_rel_dev": suppress_cpu_tpu_dev,

@@ -68,10 +68,12 @@ def _bench_module():
 
 def _complete_artifact():
     vals = {k: 1.0 for k in (
-        "value", "p50_file_latency_ms", "decode_ms", "h2d_ms", "compute_ms",
+        "value", "mulaw_value", "p50_file_latency_ms", "decode_ms", "h2d_ms",
+        "compute_ms",
         "device_loop_audio_sec_per_sec", "hbm_program_bytes",
         "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
-        "stream_value", "pallas_max_rel_dev",
+        "stream_value", "stream_p50_ms", "stream_p99_ms",
+        "stream_unbatched_value", "stream_audio_value", "pallas_max_rel_dev",
         "engine_cpu_tpu_frame_agreement", "suppress_cpu_tpu_y_rel_dev",
         "band_noise_cpu_tpu_frame_agreement", "roofline_audio_sec_per_sec_est",
     )}
