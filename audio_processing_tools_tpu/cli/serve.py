@@ -27,7 +27,7 @@ the firmware estimator's per-frame Wiener gain applied to the frame,
 ``audio_samples`` and is followed by one binary blob
 ``b"APTA" + uint32le(n_bytes) + int16-LE PCM``.  The eos summary is
 followed by the drained OLA tail.  The spectral audio lags the input by a
-constant ``audio_delay_samples`` (~23 ms) and is bit-identical for any
+constant ``audio_delay_samples`` (~11.5 ms at defaults) and is bit-identical for any
 packetization (``tests/test_streaming_audio.py``).
 
 Samples may arrive in any quantity; the server buffers to the detector's
@@ -558,6 +558,13 @@ def main(argv=None) -> int:
             unix_path=args.unix, packet_samples=args.packet_samples,
             sample_rate=args.sample_rate,
         ):
+            # Against an --emit-audio server, stream_file attaches the PCM
+            # as a numpy array; keep the printed line JSON by replacing it
+            # with its sample count (the JSON reply already carries
+            # audio_samples, so nothing is lost).
+            audio = reply.pop("audio", None)
+            if audio is not None:
+                reply["audio"] = {"samples": int(len(audio))}
             print(json.dumps(reply), flush=True)
         return 0
 

@@ -160,7 +160,7 @@ def _decoder_route() -> str:
 def _shim() -> CDLL:
     if not have_alac_shim():
         raise RuntimeError(
-            "libalac_shim.so unavailable: build it with `make -C native` "
+            "libalac_shim.so unavailable: build it with `make -C audio_processing_tools_tpu/native` "
             "(requires the libavcodec development libraries)"
         )
     assert _lib is not None

@@ -118,7 +118,7 @@ class StreamingRainDetector:
         """Constant latency of the emitted denoised audio vs the input
         stream: the OLA-ISTFT can only finalize a sample once every frame
         overlapping it has been processed, i.e. ``n_fft - hop`` samples
-        (~23 ms at the default 256/128 @ 11162 Hz)."""
+        (~11.5 ms at the default 256/128 @ 11162 Hz)."""
         return int(self.cfg.n_fft - self.cfg.hop)
 
     def _audio_static(self):

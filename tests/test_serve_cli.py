@@ -437,3 +437,28 @@ def test_serve_emit_audio_band_noise():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_client_mode_against_emit_audio_server(audio_server, tmp_path,
+                                               capsys):
+    """``--client`` prints valid JSON against an ``--emit-audio`` server:
+    the PCM array stream_file attaches is replaced by its sample count
+    (it is not JSON-serializable and the bytes are already accounted for
+    by ``audio_samples``)."""
+    from audio_processing_tools_tpu.cli.serve import main
+    from audio_processing_tools_tpu.io.audio import write_wav
+
+    rng = np.random.default_rng(11)
+    x = synth_clip("rain_heavy", rng, fs=FS, seconds=1.0)
+    wav = tmp_path / "clip.wav"
+    write_wav(str(wav), np.clip(x * 32767, -32768, 32767).astype(np.int16),
+              FS)
+    host, port = audio_server
+    assert main(["--client", str(wav), "--host", host,
+                 "--port", str(port), "--packet-samples", "4096"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    replies = [json.loads(ln) for ln in lines]  # every line parses
+    assert replies[-1]["eos"] is True
+    data = [r for r in replies if "audio" in r]
+    assert data and all(r["audio"]["samples"] == r["audio_samples"]
+                        for r in data)
