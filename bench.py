@@ -336,26 +336,27 @@ def main() -> None:
         # measured sweet spot on v5e through the axon tunnel: B=128
         B, iters, repeats = (args.batch or 128), args.iters, args.repeats
 
+    # int16 and the opt-in mu-law int8 wire (half the H2D bytes, device-side
+    # expansion; host pays one LUT gather per sample — ~194 ms/batch on this
+    # 1-core host, overlapped on the worker thread) are measured INTERLEAVED
+    # per repeat: the tunnel drifts 10-50 MB/s over minutes, so back-to-back
+    # blocks of one wire then the other would compare two different link
+    # states, not two wire formats. Detection parity vs int16 is pinned
+    # corpus-wide in tests/test_wire.py (identical clip decisions on easy,
+    # 31/32 on hard: one near-threshold wind_gusty clip flips).
+    mulaw_step = jax.jit(make_step("mulaw"))
     runs = []
+    mulaw_runs = []
     for r in range(repeats):
         rate = run_pipelined(B, iters, step)
         runs.append(round(rate, 1))
         print(f"# run {r}: batch={B}: {rate:.0f} audio-sec/sec", file=sys.stderr)
+        if not args.quick or r == 0:
+            mrate = run_pipelined(B, iters, mulaw_step, wire="mulaw")
+            mulaw_runs.append(round(mrate, 1))
+            print(f"# mulaw run {r}: batch={B}: {mrate:.0f} audio-sec/sec",
+                  file=sys.stderr)
     best_rate = max(runs)
-
-    # the same headline over the opt-in mu-law int8 wire (half the H2D
-    # bytes, device-side expansion; host pays one LUT gather per sample —
-    # ~194 ms/batch on this 1-core host, overlapped on the worker thread).
-    # Detection parity vs int16 is pinned corpus-wide in tests/test_wire.py
-    # (identical clip decisions on easy, 31/32 on hard: one near-threshold
-    # wind_gusty clip flips).
-    mulaw_step = jax.jit(make_step("mulaw"))
-    mulaw_runs = []
-    for r in range(1 if args.quick else repeats):
-        rate = run_pipelined(B, iters, mulaw_step, wire="mulaw")
-        mulaw_runs.append(round(rate, 1))
-        print(f"# mulaw run {r}: batch={B}: {rate:.0f} audio-sec/sec",
-              file=sys.stderr)
     mulaw_rate = max(mulaw_runs)
 
     stages = stage_breakdown(B)
