@@ -44,14 +44,33 @@ def _encode_lut() -> np.ndarray:
     return _ENC_LUT
 
 
+# Encode in ~1 MB slabs rather than one monolithic gather.  Two reasons,
+# both measured on this host: (1) the slab + its LUT stay cache-resident
+# (~47 ms vs 80 ms for a 28.6 MB batch standalone); (2) each np.take holds
+# the GIL only ~1.5 ms, so the encode interleaves with the axon tunnel
+# client instead of stalling behind it — a monolithic gather measured
+# 717 ms inside the transfer-pipelined bench loop (the tunnel client
+# starves long GIL holders), the slabbed one ~50 ms, flipping the mu-law
+# wire from 0.5x to ~1.8x the int16 headline.
+_ENC_SLAB = 1 << 19  # samples per slab (= 1 MB of int16 source)
+
+
 def mulaw_encode(pcm_i16: np.ndarray, out: np.ndarray | None = None
                  ) -> np.ndarray:
-    """int16 PCM -> mu-law int8 codes in [-127, 127] (one table gather)."""
+    """int16 PCM -> mu-law int8 codes in [-127, 127] (slabbed table gather)."""
     pcm_i16 = np.ascontiguousarray(pcm_i16, dtype=np.int16)
     lut = _encode_lut()
     if out is None:
-        return lut[pcm_i16.view(np.uint16)]
-    np.take(lut, pcm_i16.view(np.uint16), out=out)
+        out = np.empty(pcm_i16.shape, np.int8)
+    elif not out.flags.c_contiguous:
+        # reshape(-1) on a strided target would gather into a copy and drop
+        # the writes; fall back to the monolithic path for exotic outputs
+        out[...] = lut[pcm_i16.view(np.uint16)]
+        return out
+    src = pcm_i16.view(np.uint16).reshape(-1)
+    dst = out.reshape(-1)
+    for i in range(0, src.size, _ENC_SLAB):
+        np.take(lut, src[i:i + _ENC_SLAB], out=dst[i:i + _ENC_SLAB])
     return out
 
 

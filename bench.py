@@ -337,8 +337,9 @@ def main() -> None:
         B, iters, repeats = (args.batch or 128), args.iters, args.repeats
 
     # int16 and the opt-in mu-law int8 wire (half the H2D bytes, device-side
-    # expansion; host pays one LUT gather per sample — ~194 ms/batch on this
-    # 1-core host, overlapped on the worker thread) are measured INTERLEAVED
+    # expansion; host pays a slabbed LUT gather — ~50 ms/batch overlapped on
+    # the worker thread; see ops/wire.py for why the slabbing is what makes
+    # the encode overlap at all on this 1-core host) are measured INTERLEAVED
     # per repeat: the tunnel drifts 10-50 MB/s over minutes, so back-to-back
     # blocks of one wire then the other would compare two different link
     # states, not two wire formats. Detection parity vs int16 is pinned
