@@ -16,8 +16,16 @@ rather than as S3 MARK files.
 Wire protocol (one TCP or Unix-domain connection per stream)
 -----------------------------------------------------------
 request  := b"APT1" + uint32le(n_bytes) + n_bytes of int16-LE PCM
+mu-law   := b"APT2" + uint32le(n_bytes) + n_bytes of mu-law int8 codes
 eos      := b"APT0" + uint32le(0)
 response := one JSON line per request (and a final summary line for eos)
+
+``APT2`` carries the companded wire (1 byte/sample, G.711 mu-law at 8 bits,
+``ops/wire.py``) for bandwidth-constrained uplinks — the edge device
+companding its PCM halves its transmit bytes vs int16; the server expands
+server-side and the stream is otherwise identical (same causal state, same
+replies; a stream may even mix APT1 and APT2 packets).  Client side:
+``stream_file(..., wire="mulaw")`` / ``--wire mulaw``.
 
 With ``--emit-audio`` the server additionally streams DENOISED audio back
 (the causal suppressor product ``y = OLA-ISTFT(G*S)``, reference
@@ -54,6 +62,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 MAGIC_DATA = b"APT1"
+MAGIC_MULAW = b"APT2"
 MAGIC_EOS = b"APT0"
 MAGIC_AUDIO = b"APTA"
 _HDR = struct.Struct("<4sI")
@@ -355,7 +364,7 @@ class _StreamHandler(socketserver.BaseRequestHandler):
             if hdr is None:
                 return  # client vanished mid-stream
             magic, n_bytes = _HDR.unpack(hdr)
-            if magic not in (MAGIC_DATA, MAGIC_EOS) or (
+            if magic not in (MAGIC_DATA, MAGIC_MULAW, MAGIC_EOS) or (
                 n_bytes > MAX_PACKET_BYTES
             ):
                 self._send({"error": "bad packet header"})
@@ -381,11 +390,21 @@ class _StreamHandler(socketserver.BaseRequestHandler):
             payload = _recv_exact(self.request, n_bytes)
             if payload is None:
                 return
-            if n_bytes % 2:
-                self._send({"error": "odd payload length (int16 PCM)"})
-                return
-            pcm = np.frombuffer(payload, "<i2").astype(np.float32)
-            pcm /= INT16_SCALE
+            if magic == MAGIC_MULAW:
+                from audio_processing_tools_tpu.ops.wire import (
+                    mulaw_decode_np,
+                )
+
+                # expand the 1-byte/sample companded wire; x32768/32767
+                # lands on the same full-scale convention as the int16 path
+                pcm = mulaw_decode_np(np.frombuffer(payload, np.int8))
+                pcm *= 32768.0 / INT16_SCALE
+            else:
+                if n_bytes % 2:
+                    self._send({"error": "odd payload length (int16 PCM)"})
+                    return
+                pcm = np.frombuffer(payload, "<i2").astype(np.float32)
+                pcm /= INT16_SCALE
             pending = np.concatenate([pending, pcm])
 
             usable = pending.size // svc.block * svc.block
@@ -487,15 +506,24 @@ def _load_audio_float(path: str) -> np.ndarray:
 
 def stream_file(path: str, *, host: str = "127.0.0.1", port: int = 8765,
                 unix_path: Optional[str] = None, packet_samples: int = 8192,
-                sample_rate: int = 11162):
+                sample_rate: int = 11162, wire: str = "int16"):
     """Client helper: stream an audio file to a running server.
 
     Accepts a WAV, a MARK container, or raw ``.f32``/``.i16`` PCM; yields
     the server's JSON replies (the last one is the stream summary).
+    ``wire="mulaw"`` sends companded APT2 packets (half the uplink bytes;
+    the server expands).
     """
+    if wire not in ("int16", "mulaw"):
+        raise ValueError(f"unknown wire format: {wire!r}")
     x = _load_audio_float(path)
     pcm = np.clip(np.asarray(x, np.float32) * INT16_SCALE,
                   -32768, 32767).astype("<i2")
+    if wire == "mulaw":
+        from audio_processing_tools_tpu.ops.wire import mulaw_encode
+
+        pcm = mulaw_encode(pcm)
+    magic = MAGIC_MULAW if wire == "mulaw" else MAGIC_DATA
     if unix_path:
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         sock.connect(unix_path)
@@ -515,7 +543,7 @@ def stream_file(path: str, *, host: str = "127.0.0.1", port: int = 8765,
 
         for start in range(0, len(pcm), packet_samples):
             chunk = pcm[start : start + packet_samples].tobytes()
-            sock.sendall(_HDR.pack(MAGIC_DATA, len(chunk)) + chunk)
+            sock.sendall(_HDR.pack(magic, len(chunk)) + chunk)
             yield read_reply()
         sock.sendall(_HDR.pack(MAGIC_EOS, 0))
         yield read_reply()
@@ -540,6 +568,9 @@ def main(argv=None) -> int:
                          "and print its JSON replies")
     ap.add_argument("--packet-samples", type=int, default=8192,
                     help="client mode: samples per packet")
+    ap.add_argument("--wire", default="int16", choices=("int16", "mulaw"),
+                    help="client mode: uplink encoding (mulaw = companded "
+                         "APT2 packets, half the bytes of int16)")
     ap.add_argument("--model", default="spectral",
                     choices=sorted(_SERVICES),
                     help="engine family to serve")
@@ -556,7 +587,7 @@ def main(argv=None) -> int:
         for reply in stream_file(
             args.client, host=args.host, port=args.port,
             unix_path=args.unix, packet_samples=args.packet_samples,
-            sample_rate=args.sample_rate,
+            sample_rate=args.sample_rate, wire=args.wire,
         ):
             # Against an --emit-audio server, stream_file attaches the PCM
             # as a numpy array; keep the printed line JSON by replacing it

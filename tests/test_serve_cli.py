@@ -462,3 +462,72 @@ def test_client_mode_against_emit_audio_server(audio_server, tmp_path,
     data = [r for r in replies if "audio" in r]
     assert data and all(r["audio"]["samples"] == r["audio_samples"]
                         for r in data)
+
+
+# ---------------------------------------------------------------------------
+# APT2 mu-law wire: companded uplink, server-side expansion
+
+def _stream_wire(addr, pcm_i16, packet_samples, wires):
+    """Stream with a per-packet wire choice cycling through ``wires``
+    ("int16" | "mulaw"); returns (replies, summary)."""
+    from audio_processing_tools_tpu.cli.serve import MAGIC_MULAW
+    from audio_processing_tools_tpu.ops.wire import mulaw_encode
+
+    with socket.create_connection(addr, timeout=120) as s:
+        f = s.makefile("rb")
+        replies = []
+        for i, start in enumerate(range(0, len(pcm_i16), packet_samples)):
+            chunk = pcm_i16[start : start + packet_samples]
+            if wires[i % len(wires)] == "mulaw":
+                payload = mulaw_encode(chunk).tobytes()
+                s.sendall(_HDR.pack(MAGIC_MULAW, len(payload)) + payload)
+            else:
+                payload = chunk.tobytes()
+                s.sendall(_HDR.pack(MAGIC_DATA, len(payload)) + payload)
+            replies.extend(_lines(f, 1))
+        s.sendall(_HDR.pack(MAGIC_EOS, 0))
+        summary = _lines(f, 1)[0]
+    return replies, summary
+
+
+def test_serve_mulaw_wire_matches_int16_decision(server, stream_i16):
+    """APT2 packets carry half the bytes; the expanded stream must see the
+    same frame count and reach the same clip decision as the int16 wire
+    (mu-law is lossy, so rain_frames may differ by a few frames)."""
+    _, s16 = _stream(server, stream_i16, packet_samples=4096)
+    _, smu = _stream_wire(server, stream_i16, 4096, wires=("mulaw",))
+    assert smu["frames"] == s16["frames"]
+    assert smu["stream_is_rain"] == s16["stream_is_rain"] is True
+    assert abs(smu["rain_frames"] - s16["rain_frames"]) <= max(
+        3, int(0.02 * s16["frames"]))
+
+
+def test_serve_mixed_wire_packets_one_stream(server, stream_i16):
+    """A stream may alternate APT1 and APT2 packets: state threads through
+    both identically (frame count exact, decision unchanged)."""
+    _, s16 = _stream(server, stream_i16, packet_samples=4096)
+    _, smix = _stream_wire(server, stream_i16, 4096,
+                           wires=("int16", "mulaw"))
+    assert smix["frames"] == s16["frames"]
+    assert smix["stream_is_rain"] == s16["stream_is_rain"]
+
+
+def test_client_mulaw_wire_end_to_end(server, tmp_path):
+    """stream_file(wire="mulaw") round-trips: rain detected, eos summary."""
+    from audio_processing_tools_tpu.cli.serve import stream_file
+    from audio_processing_tools_tpu.io.audio import write_wav
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        synth_clip("noise", rng, fs=FS, seconds=1.0),
+        synth_clip("rain_heavy", rng, fs=FS, seconds=1.0),
+    ])
+    wav = tmp_path / "clip.wav"
+    write_wav(str(wav), np.clip(x * 32767, -32768, 32767).astype(np.int16),
+              FS)
+    host, port = server
+    replies = list(stream_file(str(wav), host=host, port=port,
+                               packet_samples=4096, wire="mulaw"))
+    assert replies[-1]["eos"] is True and replies[-1]["rain_frames"] > 0
+    with pytest.raises(ValueError):
+        next(stream_file(str(wav), host=host, port=port, wire="adpcm"))
