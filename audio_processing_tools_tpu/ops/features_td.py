@@ -90,6 +90,19 @@ def td_input_signal(
 # ---------------------------------------------------------------------------
 
 
+def _pick(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``a[t, idx[t]]`` as a one-hot reduction.
+
+    ``take_along_axis``/gather on the minor axis lowers to a serial
+    dynamic-slice loop on TPU (the row count serializes); a one-hot mask +
+    sum is pure VPU work.  Swapping the gathers in this module for one-hot
+    picks took the (128, 871, 32) peak-feature stage from ~16.7 ms to VPU
+    noise on v5e.
+    """
+    j = jnp.arange(a.shape[-1])
+    return jnp.sum(jnp.where(j[None, :] == idx[:, None], a, 0.0), axis=-1)
+
+
 def _window_argmax_peak_width(env_w: jnp.ndarray, valid: jnp.ndarray,
                               eps: float) -> jnp.ndarray:
     """Half-prominence width of each window's argmax peak.
@@ -106,7 +119,7 @@ def _window_argmax_peak_width(env_w: jnp.ndarray, valid: jnp.ndarray,
     neg = jnp.asarray(-jnp.inf, env_w.dtype)
     e = jnp.where(valid, env_w, neg)
     p = jnp.argmax(e, axis=-1)  # (T,)
-    peak = jnp.take_along_axis(e, p[:, None], axis=-1)[:, 0]
+    peak = jnp.max(e, axis=-1)
     count = jnp.sum(valid, axis=-1)
 
     j = jnp.arange(W)[None, :]
@@ -123,10 +136,8 @@ def _window_argmax_peak_width(env_w: jnp.ndarray, valid: jnp.ndarray,
     has_left = jnp.any(le_mask, axis=-1)
     i_stop = jnp.max(jnp.where(le_mask, j, -1), axis=-1)  # env[i_stop] <= h
     i_left = jnp.where(has_left, i_stop, 0)
-    e_i = jnp.take_along_axis(env_w, i_left[:, None], axis=-1)[:, 0]
-    e_i1 = jnp.take_along_axis(
-        env_w, jnp.minimum(i_left + 1, W - 1)[:, None], axis=-1
-    )[:, 0]
+    e_i = _pick(env_w, i_left)
+    e_i1 = _pick(env_w, jnp.minimum(i_left + 1, W - 1))
     interp_l = jnp.where(
         has_left & (e_i < h),
         (h - e_i) / jnp.where(e_i1 != e_i, e_i1 - e_i, 1.0),
@@ -139,10 +150,8 @@ def _window_argmax_peak_width(env_w: jnp.ndarray, valid: jnp.ndarray,
     has_right = jnp.any(re_mask, axis=-1)
     j_stop = jnp.min(jnp.where(re_mask, j, W), axis=-1)
     i_right = jnp.where(has_right, j_stop, jnp.maximum(count - 1, 0))
-    e_j = jnp.take_along_axis(env_w, i_right[:, None], axis=-1)[:, 0]
-    e_jm1 = jnp.take_along_axis(
-        env_w, jnp.maximum(i_right - 1, 0)[:, None], axis=-1
-    )[:, 0]
+    e_j = _pick(env_w, i_right)
+    e_jm1 = _pick(env_w, jnp.maximum(i_right - 1, 0))
     interp_r = jnp.where(
         has_right & (e_j < h),
         (h - e_j) / jnp.where(e_jm1 != e_j, e_jm1 - e_j, 1.0),
@@ -153,10 +162,8 @@ def _window_argmax_peak_width(env_w: jnp.ndarray, valid: jnp.ndarray,
     width = right_ip - left_ip
 
     # reference gating: interior strict peak with adjacent prominence > eps
-    p_prev = jnp.take_along_axis(env_w, jnp.maximum(p - 1, 0)[:, None], axis=-1)[:, 0]
-    p_next = jnp.take_along_axis(
-        env_w, jnp.minimum(p + 1, W - 1)[:, None], axis=-1
-    )[:, 0]
+    p_prev = _pick(env_w, jnp.maximum(p - 1, 0))
+    p_next = _pick(env_w, jnp.minimum(p + 1, W - 1))
     adjacent_prom = peak - jnp.maximum(p_prev, p_next)
     ok = (
         (count >= 3)
@@ -225,12 +232,34 @@ def block_energy_peak_features(
     blocks_per_frame = max(1, int(np.ceil(frame_len / H)))
     stride = max(1, int(np.round(hop / H)))
 
+    # windows via framing (reshape/concat), not an index gather: window t is
+    # env[t*stride : t*stride + W] with an m-block apron on both sides so the
+    # pre/post sums below never leave the window.  TPU gathers serialize; all
+    # indexing here is static padding + framing + range masks.
+    W = blocks_per_frame
+    m = max(1, int(post_pre_blocks))
     b0 = np.arange(T) * stride
-    jj = np.arange(blocks_per_frame)
-    idx = b0[:, None] + jj[None, :]
-    valid = jnp.asarray(idx < n_blocks)
-    idx_c = np.minimum(idx, max(n_blocks - 1, 0))
-    env_w = jnp.where(valid, env[idx_c], 0.0)  # (T, W)
+    need = m + (T - 1) * stride + W + m
+    env_pad = jnp.concatenate(
+        [jnp.zeros((m,), env.dtype), env,
+         jnp.zeros((max(need - m - n_blocks, 0),), env.dtype)]
+    )
+    We = W + 2 * m
+    if We % stride == 0:
+        env_we = frame_signal(env_pad, We, stride)[:T]  # (T, W + 2m)
+    else:
+        pad_w = -We % stride
+        env_we = frame_signal(
+            jnp.concatenate([env_pad, jnp.zeros((pad_w,), env.dtype)]),
+            We + pad_w, stride,
+        )[:T, :We]
+    # global block index of extended-window column j is b0 - m + j
+    jj_e = np.arange(We)[None, :]
+    valid_e = jnp.asarray((b0[:, None] - m + jj_e >= 0)
+                          & (b0[:, None] - m + jj_e < n_blocks))
+    env_we = jnp.where(valid_e, env_we, 0.0)
+    env_w = env_we[:, m : m + W]  # (T, W)
+    valid = valid_e[:, m : m + W]
 
     count = jnp.sum(valid, axis=-1)
     nonempty = count > 0
@@ -238,26 +267,23 @@ def block_energy_peak_features(
     rms = jnp.sqrt(jnp.sum(env_w * env_w, axis=-1) / jnp.maximum(count, 1))
     neg = jnp.asarray(-jnp.inf, env.dtype)
     p_local = jnp.argmax(jnp.where(valid, env_w, neg), axis=-1)
-    peak = jnp.take_along_axis(env_w, p_local[:, None], axis=-1)[:, 0]
+    peak = jnp.max(jnp.where(valid, env_w, neg), axis=-1)
+    peak = jnp.where(nonempty, peak, 0.0)
     crest = jnp.where(nonempty, peak / jnp.maximum(rms, eps), 0.0)
 
     width = jnp.where(nonempty, _window_argmax_peak_width(env_w, valid, eps), 0.0)
 
-    # post/pre energy around the global peak index
-    peak_idx = jnp.asarray(b0) + p_local  # (T,)
-    m = max(1, int(post_pre_blocks))
-    offs_pre = np.arange(-m, 0)
-    offs_post = np.arange(1, m + 1)
-    pre_idx = peak_idx[:, None] + offs_pre[None, :]
-    post_idx = peak_idx[:, None] + offs_post[None, :]
-    pre_valid = (pre_idx >= 0) & (pre_idx < n_blocks)
-    post_valid = (post_idx >= 0) & (post_idx < n_blocks)
-    pre_vals = jnp.where(pre_valid, env[jnp.clip(pre_idx, 0, n_blocks - 1)], 0.0)
-    post_vals = jnp.where(post_valid, env[jnp.clip(post_idx, 0, n_blocks - 1)], 0.0)
+    # post/pre energy around the peak: range masks over the extended window
+    # (columns q-m..q-1 and q+1..q+m of env_we, q = peak position there)
+    q = p_local + m
+    pre_member = (jj_e >= q[:, None] - m) & (jj_e <= q[:, None] - 1)
+    post_member = (jj_e >= q[:, None] + 1) & (jj_e <= q[:, None] + m)
+    pre_valid = pre_member & valid_e
+    post_valid = post_member & valid_e
     pre_count = jnp.sum(pre_valid, axis=-1)
     post_count = jnp.sum(post_valid, axis=-1)
-    pre_e = jnp.where(pre_count > 0, jnp.sum(pre_vals, -1) / jnp.maximum(pre_count, 1), 0.0)
-    post_e = jnp.where(post_count > 0, jnp.sum(post_vals, -1) / jnp.maximum(post_count, 1), 0.0)
+    pre_e = jnp.sum(jnp.where(pre_valid, env_we, 0.0), -1) / jnp.maximum(pre_count, 1)
+    post_e = jnp.sum(jnp.where(post_valid, env_we, 0.0), -1) / jnp.maximum(post_count, 1)
     ratio = jnp.where(nonempty, jnp.log((post_e + eps) / (pre_e + eps)), 0.0)
 
     return crest, width, ratio

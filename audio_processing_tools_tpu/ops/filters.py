@@ -410,6 +410,144 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
     return jnp.moveaxis(y, -1, axis), z_final
 
 
+_CASCADE_CONST_CACHE: dict = {}
+
+
+def _cascade_state_space(sos: np.ndarray):
+    """Combined state-space of a DF2T biquad cascade (float64, host).
+
+    Returns ``(A, Bv, r, d0)`` with state ``s[n] = A s[n-1] + Bv x[n]`` and
+    output ``y[n] = d0 x[n] + r . s[n-1]``; the 2S-dim state is the
+    concatenation of the per-section DF2T states, so an initial ``s[-1]``
+    assembled from per-section ``zi`` reproduces the sequential cascade
+    exactly.
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    S = sos.shape[0]
+    A = np.zeros((2 * S, 2 * S))
+    Bv = np.zeros(2 * S)
+    r = np.zeros(2 * S)
+    d0 = 1.0
+    for s in range(S):
+        b0, b1, b2, _, a1, a2 = sos[s]
+        As = np.array([[-a1, 1.0], [-a2, 0.0]])
+        Bs = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        # section input: u[n] = d0 x[n] + r . s[n-1]
+        A[2 * s : 2 * s + 2, :] = np.outer(Bs, r)
+        A[2 * s : 2 * s + 2, 2 * s : 2 * s + 2] += As
+        Bv[2 * s : 2 * s + 2] = Bs * d0
+        # section output: y[n] = b0 u[n] + z_s0[n-1]
+        r = b0 * r
+        r[2 * s] += 1.0
+        d0 *= b0
+    return A, Bv, r, d0
+
+
+def _cascade_matmul_constants(sos: np.ndarray, block: int):
+    """Trace-time constants that turn the cascade into MXU matmuls.
+
+    With in-block index ``i`` and block-start state ``z`` (the state before
+    the block's first sample):
+
+        s[i]  = A^{i+1} z + sum_u A^{i-u} Bv x[u]
+        y[i]  = d0 x[i] + r . s[i-1]
+              = (Zmat[i] . z) + sum_u L[i, u] x[u]
+
+    so the per-sample output is two matmuls against constants built from the
+    powers of ``A`` (the matrix prefix of the old blocked scan was
+    data-independent — only the drift vector depends on x):
+
+        L[i, u] = d0            if u == i        (direct feedthrough)
+                  r . A^{i-1-u} Bv   if u < i    (in-block impulse response)
+        Zmat[i] = r . A^i                        (block-start state pickup)
+        Kblk[u] = A^{block-1-u} Bv               (block composite drift)
+        Ablk    = A^block                        (block composite matrix)
+
+    Everything is computed in float64 and cast at use.  Exact linear algebra
+    — no truncation: cross-block history enters through the boundary states.
+    """
+    key = (sos.tobytes(), int(block))
+    hit = _CASCADE_CONST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    A, Bv, r, d0 = _cascade_state_space(sos)
+    n = A.shape[0]
+    # powers[i] = A^i, i = 0..block
+    powers = np.empty((block + 1, n, n))
+    powers[0] = np.eye(n)
+    for i in range(1, block + 1):
+        powers[i] = A @ powers[i - 1]
+    # g[d] = r . A^{d-1} Bv  (impulse response tail), d = 1..block-1
+    g = np.einsum("s,dst,t->d", r, powers[: block - 1], Bv)
+    L = np.zeros((block, block))
+    idx = np.arange(block)
+    L[idx, idx] = d0
+    for d in range(1, block):
+        L[idx[d:], idx[d:] - d] = g[d - 1]
+    Zmat = r @ powers[:block]                      # (block, n)
+    Kblk = powers[block - 1 :: -1] @ Bv            # (block, n): A^{block-1-u} Bv
+    out = (L, Zmat, Kblk, powers[block])
+    _CASCADE_CONST_CACHE[key] = out
+    return out
+
+
+def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
+                            zi: jnp.ndarray, axis: int = -1,
+                            block: int = 256) -> jnp.ndarray:
+    """Whole-cascade ``sosfilt`` (y only) as two MXU matmuls + a tiny scan.
+
+    The lean path of :func:`sosfilt`.  Versus the blocked parallel scan this
+    emits NO per-sample prefix arrays: HBM traffic is one read of ``x`` per
+    matmul plus one write of ``y``, and the only sequential work left is the
+    block-boundary state recurrence (``ceil(T/block)`` steps on a (..., 2S)
+    carry).  All matmuls run at ``Precision.HIGHEST`` (full-f32 MXU passes):
+    the bf16 default injected ~2e-3/section error (caught by the
+    reference-differential suite; see ``_sosfilt_section_pscan``).
+
+    ``zi``: (..., n_sections, 2) initial conditions (scipy layout).
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    S = sos.shape[0]
+    L, Zmat, Kblk, Ablk = _cascade_matmul_constants(sos, block)
+
+    xT = jnp.moveaxis(x, axis, -1)
+    shape = xT.shape
+    T = shape[-1]
+    dt = xT.dtype
+    hp = jax.lax.Precision.HIGHEST
+
+    nb = -(-T // block)
+    pad = nb * block - T
+    xp = jnp.pad(xT, [(0, 0)] * (xT.ndim - 1) + [(0, pad)])
+    xb = xp.reshape(shape[:-1] + (nb, block))               # (..., nb, block)
+
+    Lc = jnp.asarray(L, dt)
+    Zc = jnp.asarray(Zmat, dt)
+    Kc = jnp.asarray(Kblk, dt)
+    Ac = jnp.asarray(Ablk, dt)
+
+    # block composite drifts: c[j] = sum_u A^{block-1-u} Bv x[j, u]
+    cblk = jnp.einsum("...u,us->...s", xb, Kc, precision=hp)  # (..., nb, 2S)
+
+    z0 = jnp.broadcast_to(
+        zi.astype(dt).reshape(zi.shape[:-2] + (2 * S,)), shape[:-1] + (2 * S,)
+    )
+
+    def boundary(z, c):
+        return jnp.einsum("...s,ts->...t", z, Ac, precision=hp) + c, z
+
+    cT = jnp.moveaxis(cblk, -2, 0)                           # (nb, ..., 2S)
+    _, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8)
+    zstarts = jnp.moveaxis(zstarts, 0, -2)                   # (..., nb, 2S)
+
+    y = (
+        jnp.einsum("...u,iu->...i", xb, Lc, precision=hp)
+        + jnp.einsum("...s,is->...i", zstarts, Zc, precision=hp)
+    )
+    y = y.reshape(shape[:-1] + (nb * block,))[..., :T]
+    return jnp.moveaxis(y, -1, axis)
+
+
 def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
             axis: int = -1, return_zf: bool | None = None):
     """Cascaded-biquad filter (scipy ``sosfilt`` semantics) on device.
@@ -437,16 +575,13 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
 
     y = x
     if not return_zf:
-        # lean per-section passes (a fused two-section cascade kernel was
-        # measured SLOWER here: it emits 8 prefix arrays vs 2x3, and the
-        # pass is HBM-bound at engine batch sizes)
-        for s in range(n_sections):
-            b0, b1, b2, _, a1, a2 = [float(v) for v in sos[s]]
-            y, _ = _sosfilt_section_pscan(
-                y, a1=a1, a2=a2, bv0=b1 - a1 * b0, bv1=b2 - a2 * b0, b0=b0,
-                zi=zi_arr[..., s, :], axis=axis, need_zf=False,
-            )
-        return y
+        # lean whole-cascade path: the matrix prefix of the blocked scan is
+        # data-independent, so the filter collapses to two constant matmuls
+        # (in-block impulse response + block-start pickup) and a tiny
+        # block-boundary scan — no per-sample prefix arrays at all.
+        # Measured on v5e at (B=128, T=112k): 10.2 ms -> ~1.5 ms for the
+        # order-4 filtfilt (both directions).
+        return _sosfilt_cascade_matmul(sos, y, zi_arr, axis=axis)
 
     zf = []
     for s in range(n_sections):

@@ -4,16 +4,21 @@ The north-star fusion (BASELINE.md): one kernel maps the STFT power
 spectrogram onto the MXU by expressing the windowed rFFT as a matmul.
 
 Key idea: for ``hop = n_fft/2`` the frames of a signal are adjacent pairs of
-hop-sized blocks, so a (T, n_fft) frame matrix is just a reshape+concat of
-the input tile — no gather.  The window folds into the DFT matrix:
+hop-sized blocks, so a (n_fft, T) frame matrix is just a transpose+shift of
+the input tile — no gather.  The window folds into the DFT matrix, which
+carries ONLY the ``F = 1 + n_fft/2`` rFFT bins (cos rows stacked on sin
+rows, each padded to the 8-sublane granule ``FP``):
 
-    W_cat = [diag(w) @ C  |  diag(w) @ S]   with  C[k, f] = cos(-2 pi k f/N),
-                                                  S[k, f] = sin(-2 pi k f/N)
+    W_t = [diag-rows of w*cos(bin r) ; w*sin(bin r)]   (2 FP, n_fft)
 
-so   Y = frames @ W_cat  -> (T, 2 n_fft)  on the MXU (one f32 matmul), and
-    P[t, f] = Y[t, f]^2 + Y[t, n_fft + f]^2.
+so   Y = W_t @ frames_t  -> (2 FP, T)  on the MXU, and
+    P[f, t] = Y[f, t]^2 + Y[FP + f, t]^2
 
-FLOP cost is ~13x a radix-2 FFT, but the work lands on the 128x128 systolic
+lands directly in the (F, T) layout every consumer wants — no full-bin
+intermediate, no post-hoc slice/transpose, and half the naive FLOPs (the
+mirrored upper half of the DFT is never computed).
+
+FLOP cost is ~6x a radix-2 FFT, but the work lands on the 128x128 systolic
 array instead of the VPU and fuses windowing + power, so the kernel is HBM-
 bound: read ~4 B/sample, write F*4/hop B/sample.
 
@@ -44,65 +49,99 @@ def _dft_matrix(n_fft: int) -> np.ndarray:
     return cat.astype(np.float32)
 
 
-def _power_kernel(a_ref, b_ref, w_ref, out_ref):
-    """One (frames_tile, n_fft) -> (frames_tile, n_fft) power tile.
+def _rbins_pad(n_fft: int) -> int:
+    """rFFT bin count padded to the 8-sublane granule."""
+    return (1 + n_fft // 2 + 7) // 8 * 8
 
-    Frame t = (hop-block t, hop-block t+1); the two halves arrive as aligned
-    refs and the concat folds into the matmul:
-    ``frames @ W == first_half @ W[:hop] + second_half @ W[hop:]``
-    (two MXU matmuls; Mosaic cannot concatenate sublane-offset slices).
+
+def _dft_matrix_t(n_fft: int) -> np.ndarray:
+    """(2*FP, n_fft) transposed window+DFT matrix, rFFT bins only.
+
+    Row ``r < F`` is ``w * cos`` of bin ``r``; row ``FP + r`` is ``w * sin``
+    of bin ``r`` (``F = 1 + n_fft//2`` real bins, ``FP`` the 8-aligned pad).
+    Only the bins the product consumes are computed — the mirrored upper half
+    of the DFT never touches the MXU.
     """
-    hop = a_ref.shape[-1]
+    FP = _rbins_pad(n_fft)
+    F = 1 + n_fft // 2
+    r = np.arange(F)[:, None].astype(np.float64)
+    k = np.arange(n_fft)[None, :].astype(np.float64)
+    ang = -2.0 * np.pi * r * k / n_fft
+    w = hann_window(n_fft, dtype=np.float64)[None, :]
+    out = np.zeros((2 * FP, n_fft))
+    out[:F] = w * np.cos(ang)
+    out[FP : FP + F] = w * np.sin(ang)
+    return out.astype(np.float32)
+
+
+def _power_kernel(a_ref, b_ref, w_ref, out_ref):
+    """One (FP, frames_tile) power tile, already in (bins, frames) layout.
+
+    Frame t = (hop-block t, hop-block t+1); the two halves arrive transposed
+    (hop on sublanes, frames on lanes) and the concat folds into the matmul:
+    ``W_t @ frames_t == W_t[:, :hop] @ A + W_t[:, hop:] @ B``
+    (two MXU matmuls; Mosaic cannot concatenate sublane-offset slices).
+    ``W_t`` carries only the rFFT bins — cos rows on top, sin rows below —
+    so the output needs no post-hoc slice/transpose: power lands directly in
+    the (..., F, T) layout every consumer wants.
+    """
+    hop = a_ref.shape[-2]
     # HIGHEST precision: full-f32 MXU passes so the spectrogram meets the
     # <1e-5 parity bound (default bf16 passes deviate ~2e-3)
-    y = jnp.dot(a_ref[0], w_ref[:hop, :], preferred_element_type=jnp.float32,
+    y = jnp.dot(w_ref[:, :hop], a_ref[0], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-    y = y + jnp.dot(b_ref[0], w_ref[hop:, :], preferred_element_type=jnp.float32,
+    y = y + jnp.dot(w_ref[:, hop:], b_ref[0], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    n = w_ref.shape[1] // 2
-    out_ref[0] = y[:, :n] ** 2 + y[:, n:] ** 2
+    FP = y.shape[0] // 2
+    out_ref[0] = y[:FP] ** 2 + y[FP:] ** 2
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "frames_tile", "interpret"))
 def _pallas_power(x_blocks: jnp.ndarray, n_fft: int, hop: int,
                   frames_tile: int = 256, interpret: bool = False) -> jnp.ndarray:
-    """x_blocks: (B, n_blocks, hop) with n_blocks = T + 1; returns (B, T, n_fft)."""
+    """x_blocks: (B, n_blocks, hop) with n_blocks = T + 1; returns (B, FP, T_pad).
+
+    Callers slice to ``[:, :1 + n_fft//2, :T]``.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n_blocks, _ = x_blocks.shape
     T = n_blocks - 1
     n_tiles = -(-T // frames_tile)
-    pad_frames = n_tiles * frames_tile - T
-    # aligned non-overlapping views: frame t = (blocks[t], blocks[t+1])
-    first = x_blocks[:, :-1, :]
-    second = x_blocks[:, 1:, :]
-    if pad_frames:
-        first = jnp.pad(first, ((0, 0), (0, pad_frames), (0, 0)))
-        second = jnp.pad(second, ((0, 0), (0, pad_frames), (0, 0)))
+    Tp = n_tiles * frames_tile
+    FP = _rbins_pad(n_fft)
 
-    W = jnp.asarray(_dft_matrix(n_fft))
+    # (B, hop, n_blocks): one 4 B/sample transpose up front replaces the
+    # full-bin (T, n_fft) output transpose of the naive layout (~2.3x larger)
+    xT = jnp.swapaxes(x_blocks, -1, -2)
+    if Tp + 1 > n_blocks:
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (0, Tp + 1 - n_blocks)))
+    # frame t = (block t, block t+1) as lane-shifted views
+    first = xT[:, :, :Tp]
+    second = xT[:, :, 1 : Tp + 1]
+
+    W = jnp.asarray(_dft_matrix_t(n_fft))
 
     out = pl.pallas_call(
         _power_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles * frames_tile, n_fft),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, FP, Tp), jnp.float32),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, frames_tile, hop), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, hop, frames_tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, frames_tile, hop), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, hop, frames_tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, 2 * n_fft), lambda b, t: (0, 0),
+            pl.BlockSpec((2 * FP, n_fft), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, frames_tile, n_fft), lambda b, t: (b, t, 0),
+            (1, FP, frames_tile), lambda b, t: (b, 0, t),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(first, second, W)
-    return out[:, :T, :]
+    return out
 
 
 def _kernel_shape_ok(n_fft: int, hop: int) -> bool:
@@ -168,7 +207,7 @@ def _spectrogram_pallas(x: jnp.ndarray, *, n_fft: int, hop: int,
     x_blocks = x[:, : n_blocks * hop].reshape(x.shape[0], n_blocks, hop)
 
     P_full = _pallas_power(x_blocks, n_fft, hop, interpret=interpret)
-    P = jnp.swapaxes(P_full[..., : 1 + n_fft // 2], -1, -2)  # (B, F, T)
+    P = P_full[:, : 1 + n_fft // 2, :T]  # (B, F, T) straight from the kernel
     P = P.reshape(orig_batch + P.shape[1:])
     if squeeze:
         P = P[0]

@@ -1,0 +1,204 @@
+"""Per-stage device-time profile of the flagship engine on the real TPU.
+
+Times each compute stage with the same chained-``lax.scan`` trick as
+``bench.py::device_loop`` (K steps per dispatch, each step's input perturbed
+by the previous step's output so XLA cannot hoist the body), amortizing the
+~30 ms tunnel dispatch floor.
+
+K must be LARGE: a trivial body measured 3.35 ms/step at K=8 — that is the
+~27 ms dispatch round trip divided by 8, not compute.  Default K=64 puts the
+floor at ~0.4 ms/step; subtract the printed ``floor_ms_per_step`` (measured
+with an empty body) from every stage.
+
+Usage:  python tools/profile_stages.py [--batch 128] [--iters 64]
+Prints one JSON object: per-stage ms per batch-step, medians of 5 trials.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--clip-sec", type=float, default=10.0)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from audio_processing_tools_tpu.config import (
+        DEFAULT_MODE_BANDS,
+        build_noise_config,
+    )
+    from audio_processing_tools_tpu.models.frame_classifier import (
+        build_prefilter_sos,
+        detect_rain_over_time,
+    )
+    from audio_processing_tools_tpu.models.spectral_noise import SpectralNoiseEngine
+    from audio_processing_tools_tpu.ops.features_td import extract_td_features
+    from audio_processing_tools_tpu.ops.filters import sosfiltfilt
+    from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
+    from audio_processing_tools_tpu.ops.stft import fft_frequencies
+    from audio_processing_tools_tpu.ops.trackers import (
+        causal_low_quantile_baseline,
+        make_psd_params,
+        noise_psd_track,
+    )
+
+    FS = 11162
+    cfg = build_noise_config(FS, {
+        "detector": {"mode_bands": list(DEFAULT_MODE_BANDS)},
+        "classifier_only_mode": True,
+    })
+    eng = SpectralNoiseEngine(cfg)
+    B = args.batch
+    K = args.iters
+    N = int(FS * args.clip_sec)
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal((B, N)) * 2000).astype(np.int16)
+
+    d = jax.device_put(pcm)
+    np.asarray(d[0, 0])
+
+    # shared shape facts
+    n_fft, hop = cfg.n_fft, cfg.hop
+    T = 1 + N // hop  # center=True frame count
+    freqs = fft_frequencies(FS, n_fft)
+    band_rows = np.flatnonzero((freqs >= cfg.operating_band[0])
+                               & (freqs <= cfg.operating_band[1]))
+    Kb = len(band_rows)
+    psd_params = make_psd_params(
+        cfg_q=cfg.q, win_sec=cfg.win_sec, frames_per_sec=FS / hop,
+        ema_up=cfg.ema_up, ema_down=cfg.ema_down, eps=cfg.eps,
+        noise_psd_max_ratio=cfg.noise_psd_max_ratio,
+        adaptive_q_enable=cfg.adaptive_q_enable,
+        adaptive_q_min=cfg.adaptive_q_min,
+        adaptive_q_alpha=cfg.adaptive_q_alpha,
+    )
+    sos = build_prefilter_sos(cfg, FS, "highpass")
+
+    def to_f32(p):
+        return p.astype(jnp.float32) / 32767.0
+
+    # ---- stage bodies: pcm (B, N) int16 -> scalar --------------------------
+    def full(p):
+        xb = to_f32(p)
+        out = jax.vmap(lambda x: eng._trace_single(x, FS))(xb)
+        return jnp.sum(out["rain_conf"]) + jnp.sum(
+            out["frame_class"].astype(jnp.float32))
+
+    def spect(p):
+        xb = to_f32(p)
+        P = jax.vmap(lambda x: spectrogram_power(
+            x, n_fft=n_fft, hop=hop, center=True))(xb)
+        return jnp.sum(P)
+
+    def prefilt(p):
+        xb = to_f32(p)
+        y = jax.vmap(lambda x: sosfiltfilt(sos, x))(xb)
+        return jnp.sum(y)
+
+    def psd(p):
+        # spectrogram + band gather + noise PSD scan (detector norm path)
+        xb = to_f32(p)
+        P = jax.vmap(lambda x: spectrogram_power(
+            x, n_fft=n_fft, hop=hop, center=True))(xb)
+        Pb = P[:, band_rows, :]
+        Nb = jax.vmap(lambda pb: noise_psd_track(
+            pb, jnp.zeros((pb.shape[-1],), bool), psd_params))(Pb)
+        return jnp.sum(Nb)
+
+    def td(p):
+        xb = to_f32(p)
+        feats = jax.vmap(lambda x: extract_td_features(
+            x, fs=FS, frame_len=n_fft, hop=hop,
+            operating_band=cfg.operating_band,
+            mode_bands=tuple(
+                (float(a), float(b))
+                for (a, b) in cfg.dget("mode_bands", DEFAULT_MODE_BANDS)
+            ),
+            td_input_mode="default",
+        ))(xb)
+        return sum(jnp.sum(v) for v in feats.values())
+
+    def baselines(p):
+        # the two causal low-quantile baseline scans on mode flux shapes
+        xb = to_f32(p)
+        v1 = xb[:, :T]              # (B, T) combined flux stand-in
+        v5 = xb[:, :5 * T].reshape(B, 5, T)
+        b1, _ = causal_low_quantile_baseline(
+            v1, q_percent=20.0, samples_per_sec=FS / hop, win_sec=0.5,
+            floor=1.0)
+        b5, _ = causal_low_quantile_baseline(
+            v5, q_percent=20.0, samples_per_sec=FS / hop, win_sec=0.5,
+            floor=1.0)
+        return jnp.sum(b1) + jnp.sum(b5)
+
+    def classify(p):
+        # detect_rain_over_time on a synthetic P_det (isolates the classifier
+        # from the spectrogram + PSD-norm stages)
+        xb = to_f32(p)
+        P = jax.vmap(lambda x: spectrogram_power(
+            x, n_fft=n_fft, hop=hop, center=True))(xb)
+        Pdb = 10.0 * jnp.log10(P + cfg.eps)
+
+        def one(pd, x):
+            fc, rc, _, _ = detect_rain_over_time(cfg, pd, x, raw_power=None)
+            return jnp.sum(rc) + jnp.sum(fc.astype(jnp.float32))
+        return jnp.sum(jax.vmap(one)(Pdb, xb))
+
+    stages = {
+        "full": full,
+        "spect": spect,
+        "prefilt": prefilt,
+        "spect+psd": psd,
+        "td_features": td,
+        "baselines_x6": baselines,
+        "spect+classify": classify,
+    }
+
+    results = {}
+    for name, fn in stages.items():
+        def loop_fn(p, fn=fn):
+            def body(seed, _):
+                s = fn(p + (seed % 3).astype(jnp.int16))
+                return (s.astype(jnp.float32) % 7.0).astype(jnp.int16), ()
+            final, _ = jax.lax.scan(body, jnp.int16(0), None, length=K)
+            return final
+
+        t0 = time.perf_counter()
+        compiled = jax.jit(loop_fn).lower(d).compile()
+        compile_s = time.perf_counter() - t0
+        np.asarray(compiled(d))  # warm
+        times = []
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            np.asarray(compiled(d))
+            times.append((time.perf_counter() - t0) / K * 1000.0)
+        times.sort()
+        results[name] = {
+            "ms_per_step": round(times[len(times) // 2], 2),
+            "spread": round((times[-1] - times[0]) / times[len(times) // 2], 3),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    print(json.dumps({
+        "batch": B, "iters": K, "T_frames": T, "band_bins": Kb,
+        "backend": jax.default_backend(), "stages": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
