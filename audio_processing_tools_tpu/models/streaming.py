@@ -36,6 +36,7 @@ from audio_processing_tools_tpu.models.spectral_noise import (
     gain_freq_stage,
     gain_time_step,
 )
+from audio_processing_tools_tpu.ops.framing import frame_signal
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
 from audio_processing_tools_tpu.ops.windows import hann_window
 from audio_processing_tools_tpu.ops.filters import sosfilt
@@ -211,8 +212,10 @@ class StreamingRainDetector:
 
         # ---- causal STFT power over this chunk ----
         xa = jnp.concatenate([state["raw_tail"], chunk])
-        idx = np.arange(T_c)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = xa[idx]
+        # len(xa) = (T_c + 1) * hop with n_fft = 2 * hop, so frame_signal
+        # yields exactly T_c frames via its reshape/concat fast path (the old
+        # (T_c, n_fft) index gather serializes on TPU)
+        frames = frame_signal(xa, n_fft, hop)
         w = jnp.asarray(hann_window(n_fft))
         spec = jnp.fft.rfft(frames * w, axis=-1)
         P = (spec.real**2 + spec.imag**2).astype(jnp.float32)  # (T_c, F)
@@ -289,7 +292,7 @@ class StreamingRainDetector:
         else:
             x_td_chunk = chunk
         ta = jnp.concatenate([state["td_tail"], x_td_chunk])
-        td_frames = ta[idx]
+        td_frames = frame_signal(ta, n_fft, hop)
         state["td_tail"] = ta[-(n_fft - hop):]
         td_crest = nan_to_num(crest_factor(td_frames, axis=-1, eps=eps))
         td_kurt = kurtosis(td_frames, axis=-1, fisher=False, bias=False)

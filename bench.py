@@ -278,8 +278,8 @@ def main() -> None:
         3x spread across rounds).  K engine steps are CHAINED in one
         ``lax.scan`` — each step's input is perturbed by the previous
         step's output, so XLA cannot hoist or parallelize the body — and
-        one dispatch+fetch covers all K, leaving <=floor/K (~2 ms) of host
-        overhead per step.  Also returns the compiled program's static HBM
+        one dispatch+fetch covers all K, leaving <=floor/K (~0.4 ms at
+        K=64) of host overhead per step.  Also returns the compiled program's static HBM
         footprint and a bandwidth roofline estimate (bytes = arguments +
         2x temps at v5e's 819 GB/s; an upper bound — the engine's scans
         serialize, so it is not expected to be reached)."""
@@ -363,7 +363,9 @@ def main() -> None:
     stages = stage_breakdown(B)
     print(f"# stages per batch: {stages}", file=sys.stderr)
 
-    loop_stats = device_loop(B, K=2 if args.quick else 16,
+    # K=64: at the engine's ~6 ms/step the ~27 ms dispatch floor leaks
+    # floor/K into every step — 28% at K=16, ~3% at K=64
+    loop_stats = device_loop(B, K=2 if args.quick else 64,
                              trials=2 if args.quick else 5)
     print(f"# device loop: {loop_stats}", file=sys.stderr)
 
