@@ -213,24 +213,22 @@ def causal_time_median(X: jnp.ndarray, L: int) -> jnp.ndarray:
     if L % 2 == 0:
         L += 1
     T = X.shape[-1]
-    # window gather with left padding marked invalid
-    idx = np.arange(T)[:, None] - np.arange(L - 1, -1, -1)[None, :]
-    valid = jnp.asarray(idx >= 0)
-    idx = np.maximum(idx, 0)
-    win = X[..., idx]  # (..., T, L)
-    # masked median via sort (invalid -> +inf) and count-aware midpoint
+    # windows as L shifted pad+slice views (gathers serialize on TPU);
+    # window column k holds X[t - (L-1) + k], left-invalid marked +inf
     big = jnp.asarray(jnp.finfo(X.dtype).max, dtype=X.dtype)
-    w = jnp.where(valid, win, big)
-    ws = jnp.sort(w, axis=-1)
-    count = np.minimum(np.arange(T) + 1, L)  # per-frame valid count
+    Xp = jnp.concatenate(
+        [jnp.full(X.shape[:-1] + (L - 1,), big, X.dtype), X], axis=-1
+    )
+    w = jnp.stack([Xp[..., k : k + T] for k in range(L)], axis=-1)
+    ws = jnp.sort(w, axis=-1)  # (..., T, L)
+    count = np.minimum(np.arange(T) + 1, L)  # per-frame valid count (static)
     lo = (count - 1) // 2
     hi = count // 2
-    v_lo = jnp.take_along_axis(
-        ws, jnp.broadcast_to(jnp.asarray(lo)[(None,) * (ws.ndim - 2) + (slice(None), None)], ws.shape[:-1] + (1,)), axis=-1
-    )[..., 0]
-    v_hi = jnp.take_along_axis(
-        ws, jnp.broadcast_to(jnp.asarray(hi)[(None,) * (ws.ndim - 2) + (slice(None), None)], ws.shape[:-1] + (1,)), axis=-1
-    )[..., 0]
+    # static one-hot picks (take_along_axis lowers to a serial gather loop)
+    oh_lo = jnp.asarray(np.arange(L)[None, :] == lo[:, None], X.dtype)
+    oh_hi = jnp.asarray(np.arange(L)[None, :] == hi[:, None], X.dtype)
+    v_lo = jnp.sum(ws * oh_lo, axis=-1)
+    v_hi = jnp.sum(ws * oh_hi, axis=-1)
     return 0.5 * (v_lo + v_hi)
 
 
