@@ -360,13 +360,21 @@ def detect_rain_over_time(
         )
         return b
 
-    base_all = baseline_of(flux_modes_proc)
+    # one stacked scan for all six baselines (same tracker params; scans
+    # serialize per frame, so fusing the (T,) and (n_modes, T) trackers
+    # halves the per-frame sequential overhead)
+    stacked = jnp.concatenate(
+        [flux_modes_proc[None, :], mode_flux_by_mode], axis=0
+    )
+    base_stacked = baseline_of(stacked)
+    base_all = base_stacked[0]
+    base_modes = base_stacked[1:]
+
     excess_all = jnp.maximum(flux_modes_proc - base_all, 0.0)
     mode_flux_score = (
         excess_all / (base_all + norm_min) if norm_enable else excess_all
     )
 
-    base_modes = baseline_of(mode_flux_by_mode)  # vmapped over leading axis
     excess_modes = jnp.maximum(mode_flux_by_mode - base_modes, 0.0)
     normalized_mode_flux = nan_to_num(
         excess_modes / (base_modes + norm_min) if norm_enable else excess_modes
