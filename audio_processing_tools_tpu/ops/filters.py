@@ -493,7 +493,8 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
 
 def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
                             zi: jnp.ndarray, axis: int = -1,
-                            block: int = 256) -> jnp.ndarray:
+                            block: int = 256,
+                            reverse: bool = False) -> jnp.ndarray:
     """Whole-cascade ``sosfilt`` (y only) as two MXU matmuls + a tiny scan.
 
     The lean path of :func:`sosfilt`.  Versus the blocked parallel scan this
@@ -505,10 +506,21 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
     reference-differential suite; see ``_sosfilt_section_pscan``).
 
     ``zi``: (..., n_sections, 2) initial conditions (scipy layout).
+
+    ``reverse=True`` computes ``flip(filter(flip(x)))`` — the backward half
+    of ``sosfiltfilt`` — WITHOUT materializing either flip: reversing the
+    signal is a 180-degree rotation of the in-block constants
+    (``L[i,u] -> L[B-1-i, B-1-u]``, row-reversals of ``Zmat``/``Kblk``)
+    plus running the block-boundary scan right-to-left and prepending the
+    alignment padding instead of appending it.
     """
     sos = np.asarray(sos, dtype=np.float64)
     S = sos.shape[0]
     L, Zmat, Kblk, Ablk = _cascade_matmul_constants(sos, block)
+    if reverse:
+        L = L[::-1, ::-1]
+        Zmat = Zmat[::-1]
+        Kblk = Kblk[::-1]
 
     xT = jnp.moveaxis(x, axis, -1)
     shape = xT.shape
@@ -518,15 +530,18 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
 
     nb = -(-T // block)
     pad = nb * block - T
-    xp = jnp.pad(xT, [(0, 0)] * (xT.ndim - 1) + [(0, pad)])
+    widths = [(0, 0)] * (xT.ndim - 1) + [(pad, 0) if reverse else (0, pad)]
+    xp = jnp.pad(xT, widths)
     xb = xp.reshape(shape[:-1] + (nb, block))               # (..., nb, block)
 
-    Lc = jnp.asarray(L, dt)
-    Zc = jnp.asarray(Zmat, dt)
-    Kc = jnp.asarray(Kblk, dt)
+    Lc = jnp.asarray(np.ascontiguousarray(L), dt)
+    Zc = jnp.asarray(np.ascontiguousarray(Zmat), dt)
+    Kc = jnp.asarray(np.ascontiguousarray(Kblk), dt)
     Ac = jnp.asarray(Ablk, dt)
 
     # block composite drifts: c[j] = sum_u A^{block-1-u} Bv x[j, u]
+    # (for reverse, Kc is row-flipped so this is the drift of the
+    # time-reversed block)
     cblk = jnp.einsum("...u,us->...s", xb, Kc, precision=hp)  # (..., nb, 2S)
 
     z0 = jnp.broadcast_to(
@@ -537,14 +552,15 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
         return jnp.einsum("...s,ts->...t", z, Ac, precision=hp) + c, z
 
     cT = jnp.moveaxis(cblk, -2, 0)                           # (nb, ..., 2S)
-    _, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8)
+    _, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8, reverse=reverse)
     zstarts = jnp.moveaxis(zstarts, 0, -2)                   # (..., nb, 2S)
 
     y = (
         jnp.einsum("...u,iu->...i", xb, Lc, precision=hp)
         + jnp.einsum("...s,is->...i", zstarts, Zc, precision=hp)
     )
-    y = y.reshape(shape[:-1] + (nb * block,))[..., :T]
+    y = y.reshape(shape[:-1] + (nb * block,))
+    y = y[..., pad:] if reverse else y[..., :T]
     return jnp.moveaxis(y, -1, axis)
 
 
@@ -625,10 +641,12 @@ def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
     x0 = ext[..., :1]  # (..., 1)
     y = sosfilt(sos, ext, zi=zi0 * x0[..., None], return_zf=False)
-    y = y[..., ::-1]
-    y0 = y[..., :1]
-    y = sosfilt(sos, y, zi=zi0 * y0[..., None], return_zf=False)
-    y = y[..., ::-1]
+    # backward pass with the flips folded into the cascade constants —
+    # no (..., T) reversal copies ever hit HBM
+    y0 = y[..., -1:]
+    zi_rev = (zi0 * y0[..., None]).astype(y.dtype)
+    zi_rev = jnp.broadcast_to(zi_rev, y.shape[:-1] + zi0.shape)
+    y = _sosfilt_cascade_matmul(np.asarray(sos), y, zi_rev, reverse=True)
     y = y[..., padlen : padlen + n]
     return jnp.moveaxis(y, -1, axis)
 
