@@ -130,3 +130,21 @@ def test_sosfilt_lean_path_matches_zi_path(rng):
     scale = np.abs(y_zi).max() + 1e-12
     # different unroll factors regroup FMAs -> ulp-level shifts only
     np.testing.assert_allclose(y_lean, y_zi, atol=1e-5 * scale)
+
+
+def test_cascade_reverse_matches_flip_filter_flip(rng):
+    """reverse=True folds the sosfiltfilt backward pass into rotated
+    constants; must equal flip(sosfilt(flip(y))) to float32 tolerance."""
+    from audio_processing_tools_tpu.ops.filters import _sosfilt_cascade_matmul
+
+    sos = spsig.butter(4, [400 / (FS / 2), 3500 / (FS / 2)], "bandpass",
+                       output="sos")
+    y = rng.standard_normal((2, 7001)).astype(np.float32)
+    zi = (0.1 * rng.standard_normal((2, sos.shape[0], 2))).astype(np.float32)
+    rev = np.asarray(_sosfilt_cascade_matmul(
+        sos, jnp.asarray(y), jnp.asarray(zi), reverse=True))
+    ref = np.asarray(sosfilt(
+        sos, jnp.asarray(y[..., ::-1].copy()), zi=jnp.asarray(zi),
+        return_zf=False))[..., ::-1]
+    scale = np.abs(ref).max() + 1e-12
+    np.testing.assert_allclose(rev, ref, atol=2e-5 * scale)

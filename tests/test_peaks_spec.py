@@ -161,3 +161,26 @@ def test_clip_occupancy_stats(rng):
         jnp.asarray(P), jnp.zeros(T, bool), fs=FS, n_fft=256
     )
     assert float(np.abs(np.asarray(out2["rain_log_power_mean"])).max()) == 0.0
+
+
+def test_local_maxima_plateau_fuzz_vs_scipy(rng):
+    """Quantized signals are plateau-heavy — pins the scan-encoded
+    plateau-midpoint formulation against scipy across shapes."""
+    for trial in range(60):
+        n = int(rng.integers(3, 60))
+        kind = trial % 5
+        if kind == 0:
+            x = rng.standard_normal(n)
+        elif kind == 1:
+            x = np.round(rng.standard_normal(n) * 2) / 2
+        elif kind == 2:
+            x = np.round(rng.standard_normal(n))
+        elif kind == 3:
+            x = np.repeat(rng.standard_normal(max(1, n // 3)), 3)[:n]
+        else:
+            x = np.full(n, 1.0)
+            x[int(rng.integers(0, n))] += 1.0
+        x = x.astype(np.float32)
+        ours = np.flatnonzero(np.asarray(local_maxima(jnp.asarray(x))))
+        ref, _ = spsig.find_peaks(x.astype(np.float64))
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{kind=} {x=}")

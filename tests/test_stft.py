@@ -97,3 +97,20 @@ def test_axes_helpers():
     assert f[0] == 0.0 and abs(f[-1] - FS / 2) < 1e-9
     t = frames_to_time(np.arange(5), FS, 128)
     np.testing.assert_allclose(t, np.arange(5) * 128 / FS)
+
+
+def test_frame_signal_geometries_match_gather(rng):
+    """The reshape/concat fast path (hop | frame_len) and the gather
+    fallback must agree across geometries, including non-dividing hops,
+    non-overlapping frames, and too-short signals."""
+    for (f, h, n) in [(256, 128, 5000), (8, 8, 999), (128, 128, 1000),
+                      (300, 100, 2000), (7, 3, 50), (256, 128, 255),
+                      (4, 2, 11), (10, 10, 95)]:
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        got = np.asarray(frame_signal(jnp.asarray(x), f, h))
+        if n < f:
+            assert got.shape == (2, 0, f)
+            continue
+        t = 1 + (n - f) // h
+        idx = np.arange(t)[:, None] * h + np.arange(f)[None, :]
+        np.testing.assert_array_equal(got, x[:, idx], err_msg=f"{f=} {h=} {n=}")
