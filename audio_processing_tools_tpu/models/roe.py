@@ -126,9 +126,15 @@ def _local_average_sorted3(x: jnp.ndarray, M: int) -> jnp.ndarray:
         win_len = L
     if win_len < 3:
         win_len = 3
-    idx = np.arange(L)[:, None] + np.arange(-M, M + 1)[None, :]
-    valid = (idx >= 0) & (idx < L)
-    w = jnp.where(jnp.asarray(valid), x[np.clip(idx, 0, L - 1)], jnp.inf)
+    # +-M windows as 2M+1 shifted pad+slice views (+inf padding marks the
+    # out-of-range positions) — the old (L, 2M+1) index gather serializes
+    # on TPU
+    pos_inf = jnp.asarray(jnp.inf, x.dtype)
+    xp = jnp.concatenate([
+        jnp.full(x.shape[:-1] + (M,), pos_inf, x.dtype), x,
+        jnp.full(x.shape[:-1] + (M,), pos_inf, x.dtype),
+    ], axis=-1)
+    w = jnp.stack([xp[..., k : k + L] for k in range(2 * M + 1)], axis=-1)
     smallest = -jax.lax.top_k(-w, min(win_len, w.shape[-1]))[0]
     # all windows have >= 3 valid entries for L >= 3
     return jnp.mean(smallest, axis=-1)
