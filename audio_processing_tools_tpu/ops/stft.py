@@ -109,16 +109,31 @@ def istft(
     frames = frames * jnp.asarray(w)  # (..., T, n_fft)
 
     total = (T - 1) * hop + n_fft
-    # Overlap-add via scatter-add with static indices.
-    idx = (np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
     batch_shape = frames.shape[:-2]
-    flat = frames.reshape(batch_shape + (T * n_fft,))
-    y = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
-    y = y.at[..., idx].add(flat)
+    if n_fft % hop == 0:
+        # Overlap-add as m = n_fft/hop shifted pad+add views: frame t's
+        # k-th hop-chunk lands on output block t+k, so the sum over k of
+        # block-shifted chunk planes IS the OLA — no scatter (XLA:TPU
+        # lowers scatter-add to a serial loop over the T*n_fft indices).
+        m = n_fft // hop
+        n_blocks = T - 1 + m
+        chunks = frames.reshape(batch_shape + (T, m, hop))
+        y = jnp.zeros(batch_shape + (n_blocks, hop), dtype=frames.dtype)
+        for k in range(m):
+            y = y.at[..., k : k + T, :].add(chunks[..., :, k, :])
+        y = y.reshape(batch_shape + (total,))
+    else:
+        # Overlap-add via scatter-add with static indices (rare geometry).
+        idx = (np.arange(T)[:, None] * hop
+               + np.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames.reshape(batch_shape + (T * n_fft,))
+        y = jnp.zeros(batch_shape + (total,), dtype=frames.dtype)
+        y = y.at[..., idx].add(flat)
 
-    # Squared-window normalization (same static indices).
+    # Squared-window normalization (host-side static weights).
+    idx_w = (np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]).reshape(-1)
     wsq = np.zeros(total, dtype=np.float64)
-    np.add.at(wsq, idx, np.tile(w.astype(np.float64) ** 2, T))
+    np.add.at(wsq, idx_w, np.tile(w.astype(np.float64) ** 2, T))
     wsq = np.where(wsq > 1e-10, wsq, 1.0)  # librosa uses util.tiny ~ threshold
     y = y / jnp.asarray(wsq, dtype=y.dtype)
 
