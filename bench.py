@@ -369,6 +369,46 @@ def main() -> None:
                              trials=2 if args.quick else 5)
     print(f"# device loop: {loop_stats}", file=sys.stderr)
 
+    # RoE engine device capability, same chained-scan amortization (the
+    # legacy classifier family; pins the gather-free peaks/local-average
+    # rework per round instead of only in docs)
+    roe_loop_rate = None
+    if not args.no_subbench:
+        from audio_processing_tools_tpu.models.roe import (
+            _roe_traced,
+            build_roe_config,
+        )
+
+        roe_cfg = build_roe_config(sample_rate=FS, check_duration=3)
+        Br, Kr = (2, 2) if args.quick else (32, 16)
+        Nr = FS * 3
+        roe_mat = (rng.standard_normal((Br, Nr)) * 0.05).astype(np.float32)
+        roe_d = jax.device_put(roe_mat)
+        np.asarray(roe_d[0, 0])
+
+        def roe_loop(p):
+            def body(seed, _):
+                out = jax.vmap(lambda v: _roe_traced(v, roe_cfg, Nr))(
+                    p + (seed % 3.0) * 1e-6
+                )
+                s = (jnp.sum(out["rain_drop_count"]).astype(jnp.float32)
+                     + jnp.sum(out["frain_mean"]))
+                return s % 7.0, ()
+            f, _ = jax.lax.scan(body, jnp.float32(0), None, length=Kr)
+            return f
+
+        roe_c = jax.jit(roe_loop).lower(roe_d).compile()
+        np.asarray(roe_c(roe_d))
+        roe_rates = []
+        for _ in range(2 if args.quick else 3):
+            t0 = time.perf_counter()
+            np.asarray(roe_c(roe_d))
+            roe_rates.append(Kr * Br * 3.0 / (time.perf_counter() - t0))
+        roe_rates.sort()
+        roe_loop_rate = round(roe_rates[len(roe_rates) // 2], 1)
+        print(f"# roe device loop: {roe_loop_rate:.0f} audio-sec/sec",
+              file=sys.stderr)
+
     # secondary primary metric (BASELINE.md): p50 per-file latency (B=1),
     # container-decode included
     mark1 = make_mark_batch(1)
@@ -696,6 +736,7 @@ def main() -> None:
         "p50_file_latency_ms": round(p50_ms, 1),
         **stages,
         **loop_stats,
+        "roe_loop_audio_sec_per_sec": roe_loop_rate,
         "alac_value": alac_rate,
         "alac_vs_baseline": (round(alac_rate / 500.0, 3)
                              if alac_rate is not None else None),
