@@ -374,40 +374,44 @@ def main() -> None:
     # rework per round instead of only in docs)
     roe_loop_rate = None
     if not args.no_subbench:
-        from audio_processing_tools_tpu.models.roe import (
-            _roe_traced,
-            build_roe_config,
-        )
+        # optional field: never let this sub-bench sink the artifact
+        try:
+            from audio_processing_tools_tpu.models.roe import (
+                _roe_traced,
+                build_roe_config,
+            )
 
-        roe_cfg = build_roe_config(sample_rate=FS, check_duration=3)
-        Br, Kr = (2, 2) if args.quick else (32, 16)
-        Nr = FS * 3
-        roe_mat = (rng.standard_normal((Br, Nr)) * 0.05).astype(np.float32)
-        roe_d = jax.device_put(roe_mat)
-        np.asarray(roe_d[0, 0])
+            roe_cfg = build_roe_config(sample_rate=FS, check_duration=3)
+            Br, Kr = (2, 2) if args.quick else (32, 16)
+            Nr = FS * 3
+            roe_mat = (rng.standard_normal((Br, Nr)) * 0.05).astype(np.float32)
+            roe_d = jax.device_put(roe_mat)
+            np.asarray(roe_d[0, 0])
 
-        def roe_loop(p):
-            def body(seed, _):
-                out = jax.vmap(lambda v: _roe_traced(v, roe_cfg, Nr))(
-                    p + (seed % 3.0) * 1e-6
-                )
-                s = (jnp.sum(out["rain_drop_count"]).astype(jnp.float32)
-                     + jnp.sum(out["frain_mean"]))
-                return s % 7.0, ()
-            f, _ = jax.lax.scan(body, jnp.float32(0), None, length=Kr)
-            return f
+            def roe_loop(p):
+                def body(seed, _):
+                    out = jax.vmap(lambda v: _roe_traced(v, roe_cfg, Nr))(
+                        p + (seed % 3.0) * 1e-6
+                    )
+                    s = (jnp.sum(out["rain_drop_count"]).astype(jnp.float32)
+                         + jnp.sum(out["frain_mean"]))
+                    return s % 7.0, ()
+                f, _ = jax.lax.scan(body, jnp.float32(0), None, length=Kr)
+                return f
 
-        roe_c = jax.jit(roe_loop).lower(roe_d).compile()
-        np.asarray(roe_c(roe_d))
-        roe_rates = []
-        for _ in range(2 if args.quick else 3):
-            t0 = time.perf_counter()
+            roe_c = jax.jit(roe_loop).lower(roe_d).compile()
             np.asarray(roe_c(roe_d))
-            roe_rates.append(Kr * Br * 3.0 / (time.perf_counter() - t0))
-        roe_rates.sort()
-        roe_loop_rate = round(roe_rates[len(roe_rates) // 2], 1)
-        print(f"# roe device loop: {roe_loop_rate:.0f} audio-sec/sec",
-              file=sys.stderr)
+            roe_rates = []
+            for _ in range(2 if args.quick else 3):
+                t0 = time.perf_counter()
+                np.asarray(roe_c(roe_d))
+                roe_rates.append(Kr * Br * 3.0 / (time.perf_counter() - t0))
+            roe_rates.sort()
+            roe_loop_rate = round(roe_rates[len(roe_rates) // 2], 1)
+            print(f"# roe device loop: {roe_loop_rate:.0f} audio-sec/sec",
+                  file=sys.stderr)
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"# roe device loop skipped: {e!r}", file=sys.stderr)
 
     # secondary primary metric (BASELINE.md): p50 per-file latency (B=1),
     # container-decode included
