@@ -481,7 +481,10 @@ class StreamingRainDetector:
         pending).  ``state`` comes from :meth:`init_state_batch` (or
         stacked per-stream states).
         """
-        chunks = jnp.asarray(np.asarray(chunks, np.float32))
+        if not isinstance(chunks, jax.Array):
+            chunks = jnp.asarray(np.asarray(chunks, np.float32))
+        elif chunks.dtype != jnp.float32:
+            chunks = chunks.astype(jnp.float32)
         if chunks.ndim != 2:
             raise ValueError("chunks must be (n_streams, chunk_len)")
         key = ("batch", int(chunks.shape[0]), int(chunks.shape[-1]))
