@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.ops.stft import stft_power, fft_frequencies
+from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
 
 
 def hz_to_mel(f, htk: bool = False):
@@ -100,7 +101,8 @@ def mel_spectrogram(x: jnp.ndarray, *, sr: int = 11162, n_fft: int = 256,
                     log: bool = False) -> jnp.ndarray:
     """Mel power spectrogram ``(..., n_mels, T)``; one matmul after the
     fused power spectrogram.  ``log=True`` returns dB (10 log10)."""
-    P = stft_power(x, n_fft=n_fft, hop=hop)  # (..., F, T)
+    # Pallas transposed-DFT kernel on TPU, XLA rfft elsewhere (<1e-5 apart)
+    P = spectrogram_power(x, n_fft=n_fft, hop=hop)  # (..., F, T)
     fb = jnp.asarray(
         mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk).astype(np.float32)
     )
