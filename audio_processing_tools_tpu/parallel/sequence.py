@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from audio_processing_tools_tpu.ops.windows import hann_window
 from audio_processing_tools_tpu.ops.stft import fft_frequencies
+from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
 
 
 def sequence_sharded_stft_power(
@@ -51,7 +51,6 @@ def sequence_sharded_stft_power(
             f"({n_dev}*{hop})"
         )
     overlap = n_fft - hop
-    w = jnp.asarray(hann_window(n_fft))
 
     def local(x_loc):
         # x_loc: (n/n_dev,) local span; frames starting in this span reach
@@ -65,12 +64,11 @@ def sequence_sharded_stft_power(
         # are dropped by the caller)
         halo = jnp.where(idx == n_dev - 1, jnp.zeros_like(halo), halo)
         xa = jnp.concatenate([x_loc, halo])
-        T_loc = x_loc.shape[0] // hop
-        fidx = np.arange(T_loc)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = xa[fidx] * w
-        spec = jnp.fft.rfft(frames, axis=-1)
-        Pw = (spec.real**2 + spec.imag**2).astype(jnp.float32)
-        return Pw  # (T_loc, F)
+        # len(xa) = n_loc + (n_fft - hop) -> exactly n_loc/hop causal frames;
+        # spectrogram_power = Pallas MXU kernel per shard on TPU, identical
+        # rfft elsewhere (and gather-free framing either way)
+        Pw = spectrogram_power(xa, n_fft=n_fft, hop=hop, center=False)
+        return jnp.swapaxes(Pw, 0, 1)  # (T_loc, F)
 
     fn = shard_map(
         local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
@@ -108,7 +106,6 @@ def batch_sequence_sharded_stft_power(
             f"({seq_n}*{hop})"
         )
     overlap = n_fft - hop
-    w = jnp.asarray(hann_window(n_fft))
 
     def local(x_loc):                       # (B_loc, n_loc)
         idx = jax.lax.axis_index(seq_axis)
@@ -117,12 +114,8 @@ def batch_sequence_sharded_stft_power(
         halo = jax.lax.ppermute(head, seq_axis, perm)
         halo = jnp.where(idx == seq_n - 1, jnp.zeros_like(halo), halo)
         xa = jnp.concatenate([x_loc, halo], axis=-1)
-        T_loc = x_loc.shape[-1] // hop
-        fidx = np.arange(T_loc)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = xa[:, fidx] * w            # (B_loc, T_loc, n_fft)
-        spec = jnp.fft.rfft(frames, axis=-1)
-        Pw = (spec.real**2 + spec.imag**2).astype(jnp.float32)
-        return jnp.swapaxes(Pw, -1, -2)     # (B_loc, F, T_loc)
+        # n_loc/hop causal frames per stream; Pallas kernel per shard on TPU
+        return spectrogram_power(xa, n_fft=n_fft, hop=hop, center=False)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -156,7 +149,6 @@ def sequence_sharded_band_flux(
             f"signal length {n} must be a multiple of n_devices*hop"
         )
     overlap = n_fft - hop
-    w = jnp.asarray(hann_window(n_fft))
     freqs = fft_frequencies(fs, n_fft)
     band_rows = np.flatnonzero((freqs >= 400.0) & (freqs <= 3500.0))
     freqs_band = freqs[band_rows]
@@ -172,11 +164,8 @@ def sequence_sharded_band_flux(
         halo = jnp.where(idx == n_dev - 1, jnp.zeros_like(halo), halo)
         xa = jnp.concatenate([x_loc, halo])
         T_loc = x_loc.shape[0] // hop
-        fidx = np.arange(T_loc)[:, None] * hop + np.arange(n_fft)[None, :]
-        frames = xa[fidx] * w
-        spec = jnp.fft.rfft(frames, axis=-1)
-        Pw = (spec.real**2 + spec.imag**2).astype(jnp.float32)
-        Pb = Pw[:, band_rows]                       # (T_loc, K)
+        Pw = spectrogram_power(xa, n_fft=n_fft, hop=hop, center=False)
+        Pb = jnp.swapaxes(Pw[band_rows, :], 0, 1)   # (T_loc, K)
 
         # frame halo: the t-2 flux history comes from the LEFT neighbor
         perm_right = [(i, (i + 1) % n_dev) for i in range(n_dev)]
