@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from audio_processing_tools_tpu.ops.stft import stft_power, fft_frequencies
+from audio_processing_tools_tpu.ops.stft import fft_frequencies
 from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
 
 
