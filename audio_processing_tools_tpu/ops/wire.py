@@ -88,3 +88,64 @@ def mulaw_decode_np(codes_i8: np.ndarray) -> np.ndarray:
     """NumPy twin of :func:`mulaw_decode` (host-side oracle/tests)."""
     y = codes_i8.astype(np.float32) * (1.0 / 127.0)
     return np.sign(y) * np.expm1(np.abs(y) * _LOG1P_MU) * (1.0 / MU)
+
+
+# ---------------------------------------------------------------------------
+# Block-scaled int4 wire (the lever past mu-law: 4.25 bits/sample)
+#
+# MEASURED AND REJECTED for the detection product: at ~19 dB SQNR (vs
+# mu-law's ~38 dB) the quantization noise moves clip decisions — 1/24
+# flips on the easy labeled corpus and 7/32 on the near-threshold hard
+# corpus (vs mu-law's 0 and 1; tests/test_wire.py pins the comparison).
+# Kept as an opt-in experimental codec for bandwidth-over-accuracy
+# deployments; the supported low-rate wire is mu-law.
+# ---------------------------------------------------------------------------
+
+BLK4 = 64  # samples per scale block -> 4 + 16/64 = 4.25 bits/sample
+
+
+def block4_encode(pcm_i16: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int16 PCM -> (packed uint8 codes (..., n/2), uint16 scales (..., n/64)).
+
+    Per 64-sample block: scale = max|x| (uint16), codes = round(x/scale * 7)
+    in [-7, 7], two codes per byte (lo nibble first).  ~53% of the mu-law
+    wire's bytes.  The trailing partial block must not exist: n must be a
+    multiple of 64 (the bench/serving chunk geometries all are).
+    """
+    x = np.ascontiguousarray(pcm_i16, dtype=np.int16)
+    n = x.shape[-1]
+    if n % BLK4:
+        raise ValueError(f"length {n} must be a multiple of {BLK4}")
+    xb = x.reshape(x.shape[:-1] + (n // BLK4, BLK4)).astype(np.int32)
+    scale = np.max(np.abs(xb), axis=-1).astype(np.uint16)  # (..., n/64)
+    s = np.maximum(scale, 1).astype(np.float32)[..., None]
+    q = np.rint(xb.astype(np.float32) * (7.0 / s)).astype(np.int8)
+    qu = (q + 8).astype(np.uint8).reshape(x.shape[:-1] + (n,))
+    packed = (qu[..., 0::2] | (qu[..., 1::2] << 4)).astype(np.uint8)
+    return packed, scale
+
+
+def block4_decode(packed, scales) -> jnp.ndarray:
+    """Device-side expansion: packed int4 + block scales -> float32 [-1, 1].
+
+    Elementwise unpack + broadcast multiply; XLA fuses it into the decode
+    tail like :func:`mulaw_decode`.
+    """
+    lo = (packed & 0xF).astype(jnp.int32) - 8
+    hi = (packed >> 4).astype(jnp.int32) - 8
+    q = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (-1,))
+    nb = scales.shape[-1]
+    qb = q.reshape(q.shape[:-1] + (nb, BLK4)).astype(jnp.float32)
+    s = scales.astype(jnp.float32)[..., None] * (1.0 / (7.0 * 32768.0))
+    return (qb * s).reshape(q.shape)
+
+
+def block4_decode_np(packed: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """NumPy twin of :func:`block4_decode` (host-side oracle/tests)."""
+    lo = (packed & 0xF).astype(np.int32) - 8
+    hi = (packed >> 4).astype(np.int32) - 8
+    q = np.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (-1,))
+    nb = scales.shape[-1]
+    qb = q.reshape(q.shape[:-1] + (nb, BLK4)).astype(np.float32)
+    s = scales.astype(np.float32)[..., None] * (1.0 / (7.0 * 32768.0))
+    return (qb * s).reshape(q.shape)

@@ -111,3 +111,46 @@ def test_hard_corpus_decisions_pinned(engine):
         assert kinds[flips[0]] in ("drizzle", "rain_faint", "rain_in_wind",
                                    "wind_gusty"), kinds[flips[0]]
     assert float((f16 == fm).mean()) >= 0.97
+
+
+def test_block4_roundtrip_and_decode_twins(rng):
+    """int4 block-scaled wire: device/NumPy decode twins agree exactly;
+    SQNR lands in the expected ~19 dB band (vs mu-law ~38 dB)."""
+    import jax.numpy as jnp
+    from audio_processing_tools_tpu.ops.wire import (
+        BLK4, block4_decode, block4_decode_np, block4_encode)
+
+    x = (rng.standard_normal((3, 64 * BLK4)) * 4000).astype(np.int16)
+    p, s = block4_encode(x)
+    assert p.shape[-1] == x.shape[-1] // 2 and s.shape[-1] == x.shape[-1] // BLK4
+    y_np = block4_decode_np(p, s)
+    y_dev = np.asarray(block4_decode(jnp.asarray(p), jnp.asarray(s)))
+    np.testing.assert_array_equal(y_np, y_dev)
+    ref = x.astype(np.float32) / 32768.0
+    sqnr = 10 * np.log10(np.mean(ref**2) / np.mean((y_np - ref) ** 2))
+    assert 15.0 < sqnr < 25.0, sqnr
+    with np.testing.assert_raises(ValueError):
+        block4_encode(x[..., :-1])
+
+
+def test_block4_detection_parity_is_documented_as_insufficient(engine):
+    """The int4 wire's REJECTION is a measurement, not an opinion: on the
+    hard corpus it must flip MORE clip decisions than mu-law's single
+    known flip (if quantization ever stops mattering here, the wire
+    decision in ops/wire.py should be revisited)."""
+    from audio_processing_tools_tpu.ops.wire import (
+        BLK4, block4_decode_np, block4_encode)
+
+    clips, _labels, _kinds = make_hard_corpus(seed=17, per_class=8)
+    i16 = np.clip(np.asarray(clips) * 32767.0, -32768, 32767).astype(np.int16)
+    n = i16.shape[-1] // BLK4 * BLK4
+    x16 = i16[..., :n].astype(np.float32) / 32767.0
+    p, s = block4_encode(i16[..., :n])
+    x4 = (block4_decode_np(p, s) * (32768.0 / 32767.0)).astype(np.float32)
+    d16, _ = _decisions(engine, x16)
+    d4, _ = _decisions(engine, x4)
+    flips = int((d16 != d4).sum())
+    assert flips > 1, (
+        f"int4 wire now flips only {flips} hard-corpus decisions - "
+        "revisit the mu-law-only wire decision in ops/wire.py"
+    )
