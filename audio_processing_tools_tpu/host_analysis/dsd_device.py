@@ -281,5 +281,7 @@ def dsd_minutes_device(audio, fs: int = 11162, frame_length: int = 512
             )
         )
         vecs.append(fn(frames))
-    out = np.stack([np.asarray(v) for v in vecs], axis=1)  # (B, M, 100)
+    # one device->host fetch for all minutes (per-minute np.asarray cost
+    # M dispatch round trips through the tunnel)
+    out = np.asarray(jnp.stack(vecs, axis=1))  # (B, M, 100)
     return out[0] if squeeze else out
