@@ -165,10 +165,18 @@ def extract_raw_spectral_features(
     thresh = float(np.clip(rolloff_fraction, 0.0, 1.0)) * shape_total
     roll_idx = jnp.argmax(cum >= thresh[None, :], axis=0)
     sf = jnp.asarray(shape_freqs, jnp.float32)
-    rolloff = sf[jnp.clip(roll_idx, 0, sf.shape[0] - 1)]
+    # one-hot picks from the constant frequency table (a traced gather
+    # serializes per frame on TPU)
+    rows = jnp.arange(sf.shape[0])
+
+    def _pick_freq(idx):
+        oh = (rows[:, None] == jnp.clip(idx, 0, sf.shape[0] - 1)[None, :])
+        return jnp.sum(jnp.where(oh, sf[:, None], 0.0), axis=0)
+
+    rolloff = _pick_freq(roll_idx)
 
     dom_idx = jnp.argmax(shape_power, axis=0)
-    dominant = sf[jnp.clip(dom_idx, 0, sf.shape[0] - 1)]
+    dominant = _pick_freq(dom_idx)
 
     cep_in = jnp.log(jnp.maximum(shape_power, eps))
     cepstrum = jnp.fft.irfft(jnp.swapaxes(cep_in, 0, 1), axis=-1)  # (T, ncep_full)
