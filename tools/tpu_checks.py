@@ -180,6 +180,28 @@ def main() -> int:
         check(f"engine_{name}_tpu_vs_cpu_frame_agreement",
               float((fc_t == fc_c).mean()), 0.99, larger_ok=True)
 
+    # ---- 6. mel classifier TPU vs CPU (Pallas front-end since late r4) ----
+    from audio_processing_tools_tpu.models.mel_classifier import (
+        MelRainClassifier,
+    )
+
+    mel_t_eng = MelRainClassifier()
+    mel_t_eng.setup({"sample_rate": FS})
+    xm = np.stack([rain_clip(2.0, 31 + i) for i in range(4)])
+    out_mt = mel_t_eng.process_batch(xm)
+    with jax.default_device(cpu):
+        mel_c_eng = MelRainClassifier()
+        mel_c_eng.setup({"sample_rate": FS})
+        out_mc = mel_c_eng.process_batch(xm)
+    fr_t = np.asarray(out_mt["frame_is_rain"])
+    fr_c = np.asarray(out_mc["frame_is_rain"])
+    check("mel_tpu_vs_cpu_frame_agreement", float((fr_t == fr_c).mean()),
+          0.99, larger_ok=True)
+    check("mel_tpu_vs_cpu_clip_decisions_equal",
+          float(np.array_equal(np.asarray(out_mt["clip_is_rain"]),
+                               np.asarray(out_mc["clip_is_rain"]))),
+          1.0, larger_ok=True)
+
     results["failures"] = failures
     results["ok"] = not failures
     print(json.dumps(results))
