@@ -37,7 +37,12 @@ _SLOW = {
     "test_bench_contract.py": ("test_bench_quick_schema",),
     "test_compat_shims.py": ("test_dsp_integ_two_pass",),
     "test_dsd_transform.py": ("test_dsp_classification_from_audio_keys"
-                              "_fake_db",),
+                              "_fake_db",
+                              "test_duty_cycled_device_path_bit_parity"),
+    "test_engine_configs.py": ("test_adaptive_q",
+                               "test_bandpass_prefilter_and_none",
+                               "test_peak_gate_path_compiles",
+                               "test_lagged_noise_psd_and_median"),
     "test_framework.py": ("test_orchestrator_per_file_path_matches",),
     "test_native.py": ("test_python_native_differential",
                        "test_python_native_differential_corpus_classes"),
@@ -55,7 +60,9 @@ _SLOW = {
     "test_serve_cli.py": ("test_serve_dynamic_batching",
                           "test_serve_emit_audio_end_to_end",
                           "test_serve_band_noise",
-                          "test_serve_connections_are_independent"),
+                          "test_serve_connections_are_independent",
+                          "test_serve_detects_rain_and_matches_offline",
+                          "test_serve_packetization_invariant"),
     "test_spectral_noise.py": ("test_long_clip_60s",
                                "test_feature_dump_sparse_tier"),
     "test_streaming.py": ("test_chunk_invariance",
