@@ -51,7 +51,7 @@ def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
     # last change boundary j <= m-1 (the change entering m's plateau),
     # encoded as j*2 + up so one running max carries its direction
     enc_l = jnp.where(chg, idx * 2 + up.astype(jnp.int32), -1)
-    cmax = jax.lax.associative_scan(jnp.maximum, enc_l, axis=-1)
+    cmax = jax.lax.cummax(enc_l, axis=enc_l.ndim - 1)
     neg1 = jnp.full(x.shape[:-1] + (1,), -1, cmax.dtype)
     pos_enc = jnp.concatenate([neg1, cmax], axis=-1)  # (..., n): max over j<m
     has_l = pos_enc >= 0
@@ -61,8 +61,7 @@ def local_maxima(x: jnp.ndarray) -> jnp.ndarray:
     # next change boundary j >= m (the change leaving m's plateau), encoded
     # with reversed index so the running max picks the SMALLEST j
     enc_r = jnp.where(chg, (n - 2 - idx) * 2 + fall.astype(jnp.int32), -1)
-    rmax = jax.lax.associative_scan(
-        jnp.maximum, enc_r[..., ::-1], axis=-1)[..., ::-1]
+    rmax = jax.lax.cummax(enc_r, axis=enc_r.ndim - 1, reverse=True)
     nxt_enc = jnp.concatenate([rmax, neg1], axis=-1)  # (..., n): max over j>=m
     has_r = nxt_enc >= 0
     e = jnp.where(has_r, (n - 2) - (nxt_enc >> 1), n - 1)  # plateau end
