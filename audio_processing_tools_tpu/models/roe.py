@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from audio_processing_tools_tpu.ops.filters import butter_sos, sosfilt
-from audio_processing_tools_tpu.ops.stft import stft
+from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
 from audio_processing_tools_tpu.ops.framing import frame_signal
 from audio_processing_tools_tpu.ops.peaks import local_maxima
 from audio_processing_tools_tpu.ops.stats import kurtosis as kurtosis_op
@@ -333,8 +333,9 @@ def _analyse_chunk(chunk: jnp.ndarray, cfg: RoeConfig,
     sos = butter_sos(8, [op_lo / nyq, op_hi / nyq], "bandpass")
     audio = sosfilt(sos, chunk.astype(jnp.float32))
 
-    S = stft(audio, n_fft=N, hop=H, center=True)
-    mag = jnp.abs(S)  # (F, T)
+    # only |S| is consumed downstream, so the power-only Pallas kernel can
+    # feed it (|S| = sqrt(|S|^2); XLA rfft fallback off-TPU is identical math)
+    mag = jnp.sqrt(spectrogram_power(audio, n_fft=N, hop=H, center=True))
     F, T = mag.shape
 
     t_res = _pulse_characteristics(audio, T, cfg)
