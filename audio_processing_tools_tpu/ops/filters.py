@@ -493,7 +493,7 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
 
 def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
                             zi: jnp.ndarray, axis: int = -1,
-                            block: int = 256,
+                            block: int = 128,
                             reverse: bool = False) -> jnp.ndarray:
     """Whole-cascade ``sosfilt`` (y only) as two MXU matmuls + a tiny scan.
 
