@@ -29,6 +29,7 @@ reference.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 
 import numpy as np
@@ -410,7 +411,11 @@ def _sosfilt_section_pscan(x: jnp.ndarray, *, a1: float, a2: float,
     return jnp.moveaxis(y, -1, axis), z_final
 
 
-_CASCADE_CONST_CACHE: dict = {}
+# LRU-bounded: grid searches over band edges/orders design many distinct
+# filters, and each entry holds O(block^2 + block*4S^2) float64 constants.
+# Recomputing on a miss is cheap host-side NumPy, so a small bound suffices.
+_CASCADE_CONST_CACHE: OrderedDict = OrderedDict()
+_CASCADE_CONST_CACHE_MAX = 32
 
 
 def _cascade_state_space(sos: np.ndarray):
@@ -469,6 +474,7 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
     key = (sos.tobytes(), int(block))
     hit = _CASCADE_CONST_CACHE.get(key)
     if hit is not None:
+        _CASCADE_CONST_CACHE.move_to_end(key)
         return hit
     A, Bv, r, d0 = _cascade_state_space(sos)
     n = A.shape[0]
@@ -488,6 +494,8 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
     Kblk = powers[block - 1 :: -1] @ Bv            # (block, n): A^{block-1-u} Bv
     out = (L, Zmat, Kblk, powers[block])
     _CASCADE_CONST_CACHE[key] = out
+    while len(_CASCADE_CONST_CACHE) > _CASCADE_CONST_CACHE_MAX:
+        _CASCADE_CONST_CACHE.popitem(last=False)
     return out
 
 

@@ -185,6 +185,16 @@ def spectrogram_power(x: jnp.ndarray, n_fft: int = 256, hop: int = 128,
 
 def _spectrogram_pallas(x: jnp.ndarray, *, n_fft: int, hop: int,
                         center: bool, interpret: bool) -> jnp.ndarray:
+    # The kernel builds frame t as hop-block t ++ block t+1, which is only
+    # the STFT framing when n_fft == 2*hop (and Mosaic needs lane-aligned
+    # blocks).  Forcing use_pallas=True with any other geometry would
+    # silently return wrong spectra — refuse instead.
+    if not _kernel_shape_ok(n_fft, hop):
+        raise ValueError(
+            f"Pallas spectrogram kernel requires n_fft == 2*hop and "
+            f"n_fft % 128 == 0; got n_fft={n_fft}, hop={hop}. "
+            f"Use use_pallas=False (XLA rfft path) for this geometry."
+        )
     x = jnp.asarray(x, jnp.float32)
     squeeze = x.ndim == 1
     if squeeze:

@@ -34,7 +34,8 @@ _SLOW = {
     "test_backfill_cli.py": ("test_backfill_two_process_distributed",
                              "test_backfill_single_process"),
     "test_band_noise.py": ("test_chunked_streaming_matches_full",),
-    "test_bench_contract.py": ("test_bench_quick_schema",),
+    "test_bench_contract.py": ("test_bench_quick_schema",
+                               "test_tpu_checks_smoke_cpu"),
     "test_compat_shims.py": ("test_dsp_integ_two_pass",),
     "test_dsd_transform.py": ("test_dsp_classification_from_audio_keys"
                               "_fake_db",

@@ -73,11 +73,15 @@ def _complete_artifact():
         "device_loop_audio_sec_per_sec", "hbm_program_bytes",
         "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
         "stream_value", "stream_p50_ms", "stream_p99_ms",
-        "stream_unbatched_value", "stream_audio_value", "pallas_max_rel_dev",
+        "stream_unbatched_value", "stream_audio_value",
+        "roe_loop_audio_sec_per_sec",
+        "stream_lowlat_p50_ms", "stream_lowlat_p99_ms",
+        "pallas_max_rel_dev",
         "engine_cpu_tpu_frame_agreement", "suppress_cpu_tpu_y_rel_dev",
         "band_noise_cpu_tpu_frame_agreement", "roofline_audio_sec_per_sec_est",
     )}
     vals["backend"] = "tpu"
+    vals["tpu_checks"] = {"ok": True, "failures": []}
     return vals
 
 
@@ -89,6 +93,8 @@ def test_full_artifact_validator_accepts_complete():
     "alac_value", "suppress_value", "mel_value", "stream_value",
     "device_loop_audio_sec_per_sec", "hbm_program_bytes",
     "engine_cpu_tpu_frame_agreement", "band_noise_cpu_tpu_frame_agreement",
+    "roe_loop_audio_sec_per_sec",
+    "stream_lowlat_p50_ms", "stream_lowlat_p99_ms",
 ])
 def test_full_artifact_validator_rejects_null_field(broken):
     bench = _bench_module()
@@ -98,6 +104,26 @@ def test_full_artifact_validator_rejects_null_field(broken):
         bench.validate_full_artifact(art)
 
 
+def test_full_artifact_validator_requires_tpu_checks():
+    """On TPU the on-chip verification suite is part of the number of
+    record (VERDICT r4 item 1): a missing sub-object or any failed bound
+    sinks the artifact."""
+    bench = _bench_module()
+    art = _complete_artifact()
+    del art["tpu_checks"]
+    with pytest.raises(AssertionError, match="tpu_checks"):
+        bench.validate_full_artifact(art)
+    art["tpu_checks"] = {"ok": False,
+                         "failures": ["roe_drop_count_abs_diff=1"]}
+    with pytest.raises(AssertionError, match="on-chip verification failed"):
+        bench.validate_full_artifact(art)
+    # CPU artifacts (e.g. --quick promoted by mistake) don't carry it
+    art2 = {k: v for k, v in _complete_artifact().items()
+            if k not in ("tpu_checks",)}
+    art2["backend"] = "cpu"
+    bench.validate_full_artifact(art2)
+
+
 def test_full_artifact_validator_no_subbench_optout():
     bench = _bench_module()
     art = _complete_artifact()
@@ -105,6 +131,24 @@ def test_full_artifact_validator_no_subbench_optout():
     bench.validate_full_artifact(art, subbench=False)
     with pytest.raises(AssertionError):
         bench.validate_full_artifact(art)
+
+
+def test_tpu_checks_smoke_cpu():
+    """The on-chip verification script is part of the bench's number of
+    record (bench.py embeds run_checks() on TPU); its *logic* must stay
+    runnable — a drifted import or check body would otherwise only be
+    discovered at round end on hardware."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tpu_checks.py"),
+         "--smoke-cpu"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    j = json.loads(out.stdout.strip().splitlines()[-1])
+    assert j["ok"] is True and j["failures"] == []
+    # the fields bench.py's validator relies on
+    assert j["backend"] == "cpu"
+    assert "sosfilt_tpu_vs_scipy_rel" in j
 
 
 def test_latest_hardware_artifact_is_complete():
@@ -119,8 +163,8 @@ def test_latest_hardware_artifact_is_complete():
     with open(arts[-1]) as f:
         payload = _json.load(f)
     j = payload.get("parsed", payload)
-    # artifacts recorded before the r4 contract lack the newer fields; only
-    # enforce once an artifact carrying them exists
-    if "device_loop_audio_sec_per_sec" not in j:
+    # artifacts recorded before the r5 contract lack the newer fields
+    # (tpu_checks, lowlat profile); only enforce once one carrying them exists
+    if "stream_lowlat_p50_ms" not in j:
         pytest.skip(f"{arts[-1]} predates the full-run contract")
     _bench_module().validate_full_artifact(j)
