@@ -31,7 +31,7 @@ import pytest  # noqa: E402
 #   pytest -m ref             just the reference-differential evidence
 #   pytest                    everything (CI / end-of-round)
 _SLOW = {
-    "test_backfill_cli.py": ("test_backfill_two_process_distributed",
+    "test_backfill_cli.py": ("test_backfill_distributed",
                              "test_backfill_single_process"),
     "test_band_noise.py": ("test_chunked_streaming_matches_full",),
     "test_bench_contract.py": ("test_bench_quick_schema",
@@ -40,6 +40,9 @@ _SLOW = {
     "test_dsd_transform.py": ("test_dsp_classification_from_audio_keys"
                               "_fake_db",
                               "test_duty_cycled_device_path_bit_parity"),
+    "test_examples.py": ("test_streaming_detect_example",
+                         "test_tune_thresholds_example",
+                         "test_end_to_end_example"),
     "test_engine_configs.py": ("test_adaptive_q",
                                "test_bandpass_prefilter_and_none",
                                "test_peak_gate_path_compiles",

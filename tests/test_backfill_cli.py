@@ -74,32 +74,38 @@ def test_backfill_single_process(corpus_dir, tmp_path):
     assert summary["total_rain_clips"] == int(df["clip_is_rain"].sum())
 
 
-def test_backfill_two_process_distributed(corpus_dir, tmp_path):
-    """Two real processes; sharded work list, lockstep collectives."""
-    out = tmp_path / "dist.parquet"
+def _run_distributed(corpus_dir, out, nproc, extra=()):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     common = [
         "--input-type", "LocalPath", "--path", str(corpus_dir),
         "--distributed", "--coordinator", f"localhost:{port}",
-        "--num-processes", "2",
-    ]
+        "--num-processes", str(nproc),
+    ] + list(extra)
     procs = [
-        _run_cli(common + ["--process-id", str(i)], out) for i in range(2)
+        _run_cli(common + ["--process-id", str(i)], out) for i in range(nproc)
     ]
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (stdout, stderr) in zip(procs, outs):
         assert p.returncode == 0, stderr
+    return [_summary_line(o[0]) for o in outs]
 
-    summaries = [_summary_line(o[0]) for o in outs]
-    # replicated global aggregates agree across hosts
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_backfill_distributed(corpus_dir, tmp_path, nproc):
+    """nproc real processes (VERDICT r4 item 6: past 2); sharded work list,
+    lockstep collectives, disjoint shards, distributed == single-process."""
+    out = tmp_path / "dist.parquet"
+    summaries = _run_distributed(corpus_dir, out, nproc)
+
+    # replicated global aggregates agree across all hosts
     for k in ("total_clips", "total_rain_frames", "total_rain_clips"):
-        assert summaries[0][k] == summaries[1][k], k
+        assert len({s[k] for s in summaries}) == 1, k
     assert summaries[0]["total_clips"] == 7
 
     # per-host parquet shards: disjoint stripes covering the corpus
-    shards = [pd.read_parquet(f"{out}.host{i}") for i in range(2)]
+    shards = [pd.read_parquet(f"{out}.host{i}") for i in range(nproc)]
     all_keys = pd.concat(shards)["file_key"]
     assert len(all_keys) == 7 and all_keys.is_unique
 
@@ -115,3 +121,41 @@ def test_backfill_two_process_distributed(corpus_dir, tmp_path):
         got["rain_frame_count"], ref["rain_frame_count"]
     )
     pd.testing.assert_series_equal(got["clip_is_rain"], ref["clip_is_rain"])
+
+
+def test_backfill_distributed_dsd(tmp_path):
+    """2-process distributed run with --dsd (VERDICT r4 item 3: the DSD
+    minute-histogram path was the one pipeline family with no multi-process
+    witness).  61 s clips -> 2 DSD minutes each (full + trailing partial);
+    the per-minute integer vectors must be EXACTLY equal to the
+    single-process run's, per file."""
+    clips, labels, kinds = make_labeled_corpus(
+        seed=5, seconds=61.0, counts={"rain_heavy": 1, "noise": 1},
+    )
+    d = tmp_path / "corpus61"
+    write_corpus_dir(str(d), clips, labels, kinds)
+
+    out = tmp_path / "dsd_dist.parquet"
+    extra = ["--dsd", "--clip-sec", "61", "--batch", "2"]
+    summaries = _run_distributed(d, out, 2, extra)
+    assert summaries[0]["total_clips"] == 2
+
+    ref_out = tmp_path / "dsd_ref.parquet"
+    p = _run_cli(["--input-type", "LocalPath", "--path", str(d)] + extra,
+                 ref_out)
+    stdout, stderr = p.communicate(timeout=600)
+    assert p.returncode == 0, stderr
+
+    shards = pd.concat(
+        [pd.read_parquet(f"{out}.host{i}") for i in range(2)]
+    ).set_index("file_key").sort_index()
+    ref = pd.read_parquet(ref_out).set_index("file_key").sort_index()
+    assert list(shards.index) == list(ref.index)
+    for fk in ref.index:
+        got_v = np.asarray(list(shards.loc[fk, "dsd_minutes"]), np.float64)
+        ref_v = np.asarray(list(ref.loc[fk, "dsd_minutes"]), np.float64)
+        assert got_v.shape == ref_v.shape == (2, 100), fk
+        np.testing.assert_array_equal(got_v, ref_v, err_msg=fk)
+    # the rainy clip's minute-0 loudness histogram is non-empty
+    rain_key = [k for k in ref.index if "rain_heavy" in k][0]
+    assert np.asarray(list(ref.loc[rain_key, "dsd_minutes"]))[0].any()
