@@ -27,8 +27,18 @@ from audio_processing_tools_tpu.tuning.call_native import (
     get_version,
     load_native_library,
 )
+from audio_processing_tools_tpu.tuning.profiles import (
+    TUNED_ACCURACY_V1,
+    apply_profile,
+    available_profiles,
+    get_profile,
+)
 
 __all__ = [
+    "TUNED_ACCURACY_V1",
+    "apply_profile",
+    "available_profiles",
+    "get_profile",
     "grid_search",
     "grid_search_parallel",
     "grid_search_vmapped",
