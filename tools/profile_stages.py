@@ -17,9 +17,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/profile_stages.py` from anywhere
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def main() -> None:
@@ -29,6 +36,10 @@ def main() -> None:
     ap.add_argument("--clip-sec", type=float, default=10.0)
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--model", default="spectral",
+                    choices=["spectral", "roe"],
+                    help="roe: per-stage profile of the RoE engine at the "
+                         "bench geometry (batch 32 x 3 s)")
     args = ap.parse_args()
 
     import jax
@@ -36,6 +47,10 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.model == "roe":
+        _profile_roe(args, jax, jnp)
+        return
 
     from audio_processing_tools_tpu.config import (
         DEFAULT_MODE_BANDS,
@@ -196,6 +211,161 @@ def main() -> None:
 
     print(json.dumps({
         "batch": B, "iters": K, "T_frames": T, "band_bins": Kb,
+        "backend": jax.default_backend(), "stages": results,
+    }))
+
+
+def _chained_loop_timer(args, jax, jnp, d, stages):
+    """Shared K-chained-scan stage timer (same contract as the spectral
+    profile: each step's input perturbed by the previous step's output)."""
+    import numpy as np
+
+    K = args.iters
+    results = {}
+    for name, fn in stages.items():
+        def loop_fn(p, fn=fn):
+            def body(seed, _):
+                s = fn(p + (seed % 3.0) * 1e-6)
+                return s.astype(jnp.float32) % 7.0, ()
+            final, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            return final
+
+        t0 = time.perf_counter()
+        compiled = jax.jit(loop_fn).lower(d).compile()
+        compile_s = time.perf_counter() - t0
+        np.asarray(compiled(d))  # warm
+        times = []
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            np.asarray(compiled(d))
+            times.append((time.perf_counter() - t0) / K * 1000.0)
+        times.sort()
+        results[name] = {
+            "ms_per_step": round(times[len(times) // 2], 2),
+            "spread": round((times[-1] - times[0]) / times[len(times) // 2], 3),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"{name}: {results[name]}", flush=True)
+    return results
+
+
+def _profile_roe(args, jax, jnp) -> None:
+    """RoE per-stage device profile at the bench geometry (VERDICT r4 item
+    4: attribute the ~4.6 ms step before/instead of optimizing blind).
+
+    Stage bodies recompute their prefix (like the spectral stages), so each
+    row reads as cumulative pipeline cost up to that point; the last-stage
+    deltas attribute the step."""
+    import numpy as np
+
+    from audio_processing_tools_tpu.models.roe import (
+        _find_first_peak_in_range,
+        _local_average_sorted3,
+        _novelty_spectrum,
+        _pulse_characteristics,
+        _roe_traced,
+        build_roe_config,
+    )
+    from audio_processing_tools_tpu.ops.filters import butter_sos, sosfilt
+    from audio_processing_tools_tpu.ops.spectrogram import spectrogram_power
+
+    FS = 11162
+    cfg = build_roe_config(sample_rate=FS, check_duration=3)
+    B = args.batch if args.batch != 128 else 32   # bench geometry default
+    Nr = FS * 3
+    rng = np.random.default_rng(0)
+    d = jax.device_put((rng.standard_normal((B, Nr)) * 0.05
+                        ).astype(np.float32))
+    np.asarray(d[0, 0])
+
+    N, H = cfg.frame_length, cfg.hop_length
+    Fs = float(FS)
+    op_lo, op_hi = cfg.op_freq_range
+    nyq = 0.5 * Fs
+    sos = butter_sos(8, [op_lo / nyq, op_hi / nyq], "bandpass")
+    M = cfg.min_average_len
+    n_harm_total = cfg.num_harmonics  # harmonic 0 + dynamic 1..n-1
+
+    def bp(p):
+        return jnp.sum(jax.vmap(lambda x: sosfilt(sos, x))(p))
+
+    def mag_of(x):
+        y = sosfilt(sos, x)
+        return jnp.sqrt(spectrogram_power(y, n_fft=N, hop=H, center=True))
+
+    def bp_spect(p):
+        return jnp.sum(jax.vmap(mag_of)(p))
+
+    def pulse(p):
+        def one(x):
+            T = 1 + x.shape[-1] // H
+            r = _pulse_characteristics(x, T, cfg)
+            return sum(jnp.sum(v) for v in r.values())
+        return jnp.sum(jax.vmap(one)(p))
+
+    def nov6(p):
+        # 6 per-harmonic novelty chains (band mask -> freq-diff -> SNR via
+        # the +-M top_k local average -> local-maxima mask -> threshold)
+        def one(x):
+            mag = mag_of(x)
+            F = mag.shape[0]
+            Y = mag if cfg.log_factor == 0 else jnp.log(1 + cfg.log_factor * mag)
+            s = 0.0
+            for hn in range(n_harm_total):
+                lo = 500.0 * (hn + 1)
+                mask = (jnp.arange(F) >= int(lo / (Fs / N))) & \
+                       (jnp.arange(F) <= int((lo + 300.0) / (Fs / N)))
+                Yh = jnp.where(mask[:, None], Y, 0.0)
+                novk, novt = _novelty_spectrum(
+                    Yh, M, float(cfg.harmonic_threshold[min(
+                        hn, len(cfg.harmonic_threshold) - 1)]))
+                s = s + jnp.sum(novk) + jnp.sum(novt)
+            return s
+        return jnp.sum(jax.vmap(one)(p))
+
+    def peaks6(p):
+        def one(x):
+            mag = mag_of(x)
+            s = 0.0
+            for hn in range(n_harm_total):
+                lo = jnp.float32(500.0 * (hn + 1))
+                cnt, fpeak = _find_first_peak_in_range(
+                    mag, lo - 100.0, lo + 400.0, lo, lo + 300.0, Fs,
+                    cfg.max_peaks)
+                s = s + jnp.sum(cnt.astype(jnp.float32)) + jnp.sum(fpeak)
+            return s
+        return jnp.sum(jax.vmap(one)(p))
+
+    def localavg6(p):
+        # just the 6 +-M top_k local averages on T-length novelty vectors
+        def one(x):
+            T = 1 + (x.shape[-1] // N) * (N // H)
+            nov = x[: T + 1]
+            s = 0.0
+            for _ in range(n_harm_total):
+                s = s + jnp.sum(_local_average_sorted3(nov, M))
+            return s
+        return jnp.sum(jax.vmap(one)(p))
+
+    def full(p):
+        def one(x):
+            out = _roe_traced(x, cfg, Nr)
+            return (out["rain_drop_count"].astype(jnp.float32)
+                    + out["frain_mean"])
+        return jnp.sum(jax.vmap(one)(p))
+
+    stages = {
+        "full": full,
+        "bp_filter": bp,
+        "bp+spect": bp_spect,
+        "pulse_td": pulse,
+        "bp+spect+nov6": nov6,
+        "bp+spect+peaks6": peaks6,
+        "localavg6_only": localavg6,
+    }
+    results = _chained_loop_timer(args, jax, jnp, d, stages)
+    print(json.dumps({
+        "model": "roe", "batch": B, "iters": args.iters,
         "backend": jax.default_backend(), "stages": results,
     }))
 
