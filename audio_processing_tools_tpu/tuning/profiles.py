@@ -15,7 +15,7 @@ bit-for-bit given the threshold-independent front-end features) starting
 FROM the reference-default thresholds, on ``make_hard_corpus`` — selected
 by joint accuracy over three corpus seeds (17 pinned, 23/29 held out)
 under the hard constraint that both easy corpora (seeds 7, 11) stay
-perfect.  Full-engine validation (``tests/test_tuning_profile.py``):
+perfect.  Full-engine validation (``tests/test_accuracy_regression.py``):
 
 ==========  ========  =======
 corpus      default   tuned
