@@ -37,9 +37,10 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--model", default="spectral",
-                    choices=["spectral", "roe"],
+                    choices=["spectral", "roe", "band_noise"],
                     help="roe: per-stage profile of the RoE engine at the "
-                         "bench geometry (batch 32 x 3 s)")
+                         "bench geometry (batch 32 x 3 s); band_noise: the "
+                         "streaming estimator (batch 32 x 10 s)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +51,9 @@ def main() -> None:
 
     if args.model == "roe":
         _profile_roe(args, jax, jnp)
+        return
+    if args.model == "band_noise":
+        _profile_band_noise(args, jax, jnp)
         return
 
     from audio_processing_tools_tpu.config import (
@@ -367,6 +371,108 @@ def _profile_roe(args, jax, jnp) -> None:
     print(json.dumps({
         "model": "roe", "batch": B, "iters": args.iters,
         "backend": jax.default_backend(), "stages": results,
+    }))
+
+
+def _profile_band_noise(args, jax, jnp) -> None:
+    """Band-noise estimator per-stage device profile (ROADMAP candidate 5:
+    attribute the ~25k audio-s/s before optimizing the scan blind).
+
+    Cumulative stages over the real pipeline (filters -> per-frame inputs ->
+    estimator scan), plus two isolation rows: ``scan_only`` fabricates the
+    per-frame inputs from cheap reshapes so the row reads as the scan body's
+    own cost, and ``filters_lean`` times the y-only cascade-matmul path the
+    whole-clip entry COULD use if it did not return ``zf``."""
+    import numpy as np
+
+    from audio_processing_tools_tpu.models.band_noise import (
+        BandNoiseEstimatorConfig,
+        _design_filters,
+        _per_frame_inputs,
+        _run_band_scan,
+        _scan_carry_init,
+        band_noise_process,
+    )
+    from audio_processing_tools_tpu.ops.filters import sosfilt, sosfilt_zi
+
+    FS = 11162
+    cfg = BandNoiseEstimatorConfig()
+    B = args.batch if args.batch != 128 else 32
+    N = int(FS * args.clip_sec)
+    T = N // cfg.frame_len
+    S = 1 + (cfg.frame_len - cfg.subframe_len) // cfg.subhop
+    rng = np.random.default_rng(0)
+    d = jax.device_put(
+        (rng.standard_normal((B, N)) * 0.05).astype(np.float32))
+    np.asarray(d[0, 0])
+
+    hpf, bpf = _design_filters(cfg)
+    zi_h_base = np.asarray(sosfilt_zi(hpf), np.float32)
+    zi_b_base = np.asarray(sosfilt_zi(bpf), np.float32)
+
+    def filt_one(x):
+        x0 = x[0]
+        x_h, _ = sosfilt(hpf, x, zi=jnp.asarray(zi_h_base) * x0)
+        x_bp, _ = sosfilt(bpf, x_h, zi=jnp.asarray(zi_b_base) * x0)
+        return x_h, x_bp
+
+    def filters(p):
+        x_h, x_bp = jax.vmap(filt_one)(p)
+        return jnp.sum(x_h) + jnp.sum(x_bp)
+
+    def filters_lean(p):
+        def one(x):
+            x0 = x[0]
+            x_h = sosfilt(hpf, x, zi=jnp.asarray(zi_h_base) * x0,
+                          return_zf=False)
+            x_bp = sosfilt(bpf, x_h, zi=jnp.asarray(zi_b_base) * x0,
+                           return_zf=False)
+            return x_h, x_bp
+        x_h, x_bp = jax.vmap(one)(p)
+        return jnp.sum(x_h) + jnp.sum(x_bp)
+
+    def inputs(p):
+        def one(x):
+            x_h, x_bp = filt_one(x)
+            ins = _per_frame_inputs(x_h[: T * cfg.frame_len],
+                                    x_bp[: T * cfg.frame_len], cfg, T)
+            return sum(jnp.sum(v) for v in ins)
+        return jnp.sum(jax.vmap(one)(p))
+
+    def scan_only(p):
+        def one(x):
+            # fabricated per-frame inputs: cheap reshapes of the waveform so
+            # this row's cost is the scan body itself
+            f = jnp.abs(x[: T * cfg.frame_len].reshape(T, cfg.frame_len))
+            subE_t = f[:, :S] + 1e-6
+            scal = f[:, 0]
+            ins = (subE_t, subE_t + 1e-7, scal, scal + 1e-7, scal,
+                   jnp.sqrt(scal), scal, scal, scal)
+            outs, _ = _run_band_scan(cfg, _scan_carry_init(cfg), ins)
+            return jnp.sum(outs["M_clean"]) + jnp.sum(outs["N_E"])
+        return jnp.sum(jax.vmap(one)(p))
+
+    def full(p):
+        def one(x):
+            outs = band_noise_process(x, cfg)
+            return jnp.sum(outs["M_clean"]) + jnp.sum(outs["N_E"])
+        return jnp.sum(jax.vmap(one)(p))
+
+    stages = {
+        "full": full,
+        "filters": filters,
+        "filters_lean": filters_lean,
+        "filters+inputs": inputs,
+        "scan_only": scan_only,
+    }
+    results = _chained_loop_timer(args, jax, jnp, d, stages)
+    audio_s = B * args.clip_sec
+    full_ms = results["full"]["ms_per_step"]
+    print(json.dumps({
+        "model": "band_noise", "batch": B, "iters": args.iters,
+        "T_frames": T, "backend": jax.default_backend(),
+        "audio_sec_per_sec": round(audio_s / (full_ms / 1000.0), 1),
+        "stages": results,
     }))
 
 
