@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from audio_processing_tools_tpu.ops.filters import (
     butter_sos,
     sosfilt,
+    sosfilt_matmul_zf,
     sosfilt_zi,
 )
 from audio_processing_tools_tpu.ops.stats import masked_quantile, quantile_linear
@@ -188,14 +189,17 @@ def band_noise_process(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig
 
     # zi seeding: both filters seeded from the raw first sample
     # (``band_noise_estimator.py:782-787``)
+    # lean cascade-matmul filter path (zf discarded here); the chunked entry
+    # uses ``sosfilt_matmul_zf`` — the SAME y math — so whole-clip vs chunked
+    # stays bit-identical while skipping the per-sample prefix arrays
     x0 = x[0]
     if hpf is not None:
         zi_h = jnp.asarray(sosfilt_zi(hpf), jnp.float32) * x0
-        x_h, _ = sosfilt(hpf, x, zi=zi_h)
+        x_h = sosfilt(hpf, x, zi=zi_h, return_zf=False)
     else:
         x_h = x
     zi_b = jnp.asarray(sosfilt_zi(bpf), jnp.float32) * x0
-    x_bp, _ = sosfilt(bpf, x_h, zi=zi_b)
+    x_bp = sosfilt(bpf, x_h, zi=zi_b, return_zf=False)
 
     inputs = _per_frame_inputs(x_h, x_bp, cfg, T)
     outs, _ = _run_band_scan(cfg, _scan_carry_init(cfg), inputs)
@@ -301,13 +305,13 @@ def band_noise_process_chunk(x: jnp.ndarray, cfg: BandNoiseEstimatorConfig,
     if hpf is not None:
         zi_h_seed = jnp.asarray(sosfilt_zi(hpf), jnp.float32) * x0
         zi_h = jnp.where(seeded, state["zi_h"], zi_h_seed)
-        x_h, zf_h = sosfilt(hpf, x, zi=zi_h)
+        x_h, zf_h = sosfilt_matmul_zf(hpf, x, zi_h)
         state["zi_h"] = zf_h
     else:
         x_h = x
     zi_b_seed = jnp.asarray(sosfilt_zi(bpf), jnp.float32) * x0
     zi_b = jnp.where(seeded, state["zi_b"], zi_b_seed)
-    x_bp, zf_b = sosfilt(bpf, x_h, zi=zi_b)
+    x_bp, zf_b = sosfilt_matmul_zf(bpf, x_h, zi_b)
     state["zi_b"] = zf_b
     state["seeded"] = jnp.asarray(True)
 

@@ -502,7 +502,8 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
 def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
                             zi: jnp.ndarray, axis: int = -1,
                             block: int = 128,
-                            reverse: bool = False) -> jnp.ndarray:
+                            reverse: bool = False,
+                            return_zf: bool = False):
     """Whole-cascade ``sosfilt`` (y only) as two MXU matmuls + a tiny scan.
 
     The lean path of :func:`sosfilt`.  Versus the blocked parallel scan this
@@ -521,7 +522,19 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
     (``L[i,u] -> L[B-1-i, B-1-u]``, row-reversals of ``Zmat``/``Kblk``)
     plus running the block-boundary scan right-to-left and prepending the
     alignment padding instead of appending it.
+
+    ``return_zf=True`` (forward only) additionally returns the final filter
+    state in scipy's per-section ``(..., n_sections, 2)`` layout.  The
+    combined 2S-dim state IS the concatenation of per-section DF2T states,
+    so the export is a reshape; for a trailing partial block the state is
+    advanced exactly ``P = T - (nb-1)*block`` samples with one constant
+    ``A^P`` pickup plus the length-P drift (rows ``block-P:`` of ``Kblk``) —
+    exact linear algebra, and bit-stable across chunk boundaries that are
+    multiples of ``block`` (the chunked caller sees the same per-block
+    recurrence as the whole-clip one).
     """
+    if return_zf and reverse:
+        raise ValueError("return_zf is only supported for forward filtering")
     sos = np.asarray(sos, dtype=np.float64)
     S = sos.shape[0]
     L, Zmat, Kblk, Ablk = _cascade_matmul_constants(sos, block)
@@ -560,7 +573,7 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
         return jnp.einsum("...s,ts->...t", z, Ac, precision=hp) + c, z
 
     cT = jnp.moveaxis(cblk, -2, 0)                           # (nb, ..., 2S)
-    _, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8, reverse=reverse)
+    zfin, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8, reverse=reverse)
     zstarts = jnp.moveaxis(zstarts, 0, -2)                   # (..., nb, 2S)
 
     y = (
@@ -569,7 +582,39 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
     )
     y = y.reshape(shape[:-1] + (nb * block,))
     y = y[..., pad:] if reverse else y[..., :T]
-    return jnp.moveaxis(y, -1, axis)
+    y = jnp.moveaxis(y, -1, axis)
+    if not return_zf:
+        return y
+    if pad == 0:
+        zf = zfin
+    else:
+        # advance the last block-start state exactly P real samples
+        P = block - pad
+        A, _, _, _ = _cascade_state_space(sos)
+        Ap = jnp.asarray(np.linalg.matrix_power(A, P), dt)
+        z_last = zstarts[..., -1, :]                         # (..., 2S)
+        drift = jnp.einsum("...u,us->...s", xb[..., -1, :P],
+                           jnp.asarray(np.ascontiguousarray(Kblk[block - P:]),
+                                       dt), precision=hp)
+        zf = jnp.einsum("...s,ts->...t", z_last, Ap, precision=hp) + drift
+    return y, zf.reshape(zf.shape[:-1] + (S, 2))
+
+
+def sosfilt_matmul_zf(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray,
+                      axis: int = -1):
+    """``sosfilt`` returning ``(y, zf)`` through the lean cascade-matmul path.
+
+    Same scipy semantics as ``sosfilt(sos, x, zi=zi)`` but with the whole
+    cascade as two constant MXU matmuls + the block-boundary scan (no
+    per-sample prefix arrays), plus an exact final-state export.  Float32
+    output differs from the per-section parallel scan only in FMA grouping
+    (same accuracy class vs the float64 oracle).  Chunk-invariant when every
+    chunk length is a multiple of the 128-sample block (the band-noise
+    streaming adapter's frames are 512 samples).
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    zi_arr = jnp.asarray(zi, dtype=x.dtype)
+    return _sosfilt_cascade_matmul(sos, x, zi_arr, axis=axis, return_zf=True)
 
 
 def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,

@@ -70,8 +70,12 @@ def masked_quantile(x: jnp.ndarray, valid: jnp.ndarray, q, axis: int = -1
     lo = jnp.floor(h).astype(jnp.int32)
     hi = jnp.ceil(h).astype(jnp.int32)
     frac = h - lo.astype(x.dtype)
-    v_lo = jnp.take_along_axis(xs, lo[..., None], axis=-1)[..., 0]
-    v_hi = jnp.take_along_axis(xs, hi[..., None], axis=-1)[..., 0]
+    # one-hot picks: take_along_axis lowers to a serial gather loop on TPU,
+    # and this runs inside the band-noise estimator's per-frame scan.  The
+    # masked sum is exact (one 1.0 multiply, all other terms exactly 0).
+    idx = jnp.arange(xs.shape[-1], dtype=jnp.int32)
+    v_lo = jnp.sum(jnp.where(idx == lo[..., None], xs, 0.0), axis=-1)
+    v_hi = jnp.sum(jnp.where(idx == hi[..., None], xs, 0.0), axis=-1)
     out = v_lo + frac * (v_hi - v_lo)
     return jnp.where(count > 0, out, 0.0)
 
