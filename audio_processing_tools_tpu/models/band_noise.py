@@ -34,7 +34,10 @@ from audio_processing_tools_tpu.ops.filters import (
     sosfilt_matmul_zf,
     sosfilt_zi,
 )
-from audio_processing_tools_tpu.ops.stats import masked_quantile, quantile_linear
+from audio_processing_tools_tpu.ops.stats import (
+    masked_quantile_rankselect,
+    quantile_linear,
+)
 
 EPS = 1e-12
 
@@ -394,6 +397,37 @@ def _run_band_scan(cfg: BandNoiseEstimatorConfig, carry0, inputs):
         c["wr"] = jnp.where(do, (j + 1) % W, c["wr"])
         return c
 
+    idxW = jnp.arange(W, dtype=jnp.int32)
+
+    def push_many(c, vals, dos):
+        """One frame's P pushes as a single one-hot update.
+
+        Sequential :func:`push` calls write the consecutive ring slots
+        ``wr + cumsum(dos) - dos`` (mod W); with P <= W those hit positions
+        are distinct, so a one-hot masked sum reproduces the sequential
+        write order bit-exactly while replacing P chained
+        dynamic-update-slice ops (a serial dependency per subframe) with
+        one fused elementwise block per frame.
+        """
+        c = dict(c)
+        d32 = dos.astype(jnp.int32)
+        offs = jnp.cumsum(d32) - d32
+        pos = (c["wr"] + offs) % W                               # (P,)
+        onehot = dos[:, None] & (idxW[None, :] == pos[:, None])  # (P, W)
+        hit = jnp.any(onehot, axis=0)                            # (W,)
+        overwrote = jnp.any(onehot & c["valid"][None, :], axis=1)
+        c["buf"] = jnp.where(
+            hit, jnp.sum(jnp.where(onehot, vals[:, None], 0.0), axis=0),
+            c["buf"],
+        )
+        c["valid"] = c["valid"] | hit
+        c["buf_frame_idx"] = jnp.where(hit, c["frame_idx"], c["buf_frame_idx"])
+        c["count_valid"] = c["count_valid"] + jnp.sum(
+            dos & ~overwrote
+        ).astype(jnp.int32)
+        c["wr"] = (c["wr"] + jnp.sum(d32)) % W
+        return c
+
     def step(c, inp):
         (subE_t, subEhpf_t, rain_sum, primary, Eb_t, Mb_t,
          Mb_fft_t, Eb_fft_t, E_hpf_t) = inp
@@ -465,8 +499,7 @@ def _run_band_scan(cfg: BandNoiseEstimatorConfig, carry0, inputs):
             learn_mask = jnp.ones((S,), bool)
         else:
             learn_mask = ~rain_submask
-        for s in range(S):
-            c = push(c, jnp.maximum(subE_t[s], cfg.eps), learn_mask[s])
+        c = push_many(c, jnp.maximum(subE_t, cfg.eps), learn_mask)
         learned_count = jnp.sum(learn_mask).astype(jnp.int32)
 
         buffer_not_full = c["count_valid"] < W
@@ -506,10 +539,16 @@ def _run_band_scan(cfg: BandNoiseEstimatorConfig, carry0, inputs):
             )
             c["noise_effective_q"] = jnp.clip(q_eff, 1e-6, 1.0 - 1e-6)
 
-        # ---- noise scalar (with expiry + warmup semantics) ----
-        c = expire(c)
+        # ---- noise scalar (warmup semantics) ----
+        # The reference expires the buffer again here, but between the
+        # pre-learn expire() above and this point frame_idx has not changed
+        # and every pushed entry has age 0, so no entry can have BECOME
+        # stale: a second expire() is provably a no-op and is elided (the
+        # exact-decision differential suites pin the equivalence).
         warm = c["count_valid"] >= cfg.W_min
-        qv = masked_quantile(c["buf"], c["valid"], c["noise_effective_q"])
+        qv = masked_quantile_rankselect(
+            c["buf"], c["valid"], c["noise_effective_q"]
+        )
         a = float(cfg.ema_alpha)
         ema_new = (1.0 - a) * c["noise_ema"] + a * qv
         c["noise_ema"] = jnp.where(warm, ema_new, 0.0)

@@ -80,6 +80,44 @@ def masked_quantile(x: jnp.ndarray, valid: jnp.ndarray, q, axis: int = -1
     return jnp.where(count > 0, out, 0.0)
 
 
+def masked_quantile_rankselect(x: jnp.ndarray, valid: jnp.ndarray, q
+                               ) -> jnp.ndarray:
+    """Bit-exact :func:`masked_quantile` over a small 1-D buffer, no sort.
+
+    A quantile needs only two order statistics, not the whole sorted array.
+    For a W-element buffer the stable rank of every element is one (W, W)
+    comparison matrix (ties broken by index), and the lo/hi order statistics
+    are exact one-hot masked sums — ~10 fused elementwise ops instead of a
+    ~log^2(W)-stage bitonic sorting network.  Inside the band-noise
+    estimator's per-frame scan (W=30, one call per frame) this is the
+    difference between the sort dominating the scan body and vanishing.
+
+    Exactness: ranks are a permutation (ties index-broken), so exactly one
+    element holds rank ``lo`` and its value equals ``sort(x)[lo]`` bitwise —
+    equal float values are interchangeable.  Same linear interpolation as
+    :func:`masked_quantile`; returns 0 where no entries are valid.
+    """
+    x = x.astype(jnp.float32).reshape(-1)
+    valid = valid.reshape(-1)
+    W = x.shape[0]
+    big = jnp.asarray(jnp.finfo(x.dtype).max, dtype=x.dtype)
+    xv = jnp.where(valid, x, big)
+    idx = jnp.arange(W, dtype=jnp.int32)
+    lt = xv[None, :] < xv[:, None]
+    eq_before = (xv[None, :] == xv[:, None]) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum(lt | eq_before, axis=-1).astype(jnp.int32)  # (W,)
+    count = jnp.sum(valid)
+    q = jnp.asarray(q, dtype=x.dtype)
+    h = q * jnp.maximum(count - 1, 0).astype(x.dtype)
+    lo = jnp.floor(h).astype(jnp.int32)
+    hi = jnp.ceil(h).astype(jnp.int32)
+    frac = h - lo.astype(x.dtype)
+    v_lo = jnp.sum(jnp.where(rank == lo, xv, 0.0))
+    v_hi = jnp.sum(jnp.where(rank == hi, xv, 0.0))
+    out = v_lo + frac * (v_hi - v_lo)
+    return jnp.where(count > 0, out, 0.0)
+
+
 def quantile_linear(x: jnp.ndarray, q, axis: int = -1) -> jnp.ndarray:
     """``np.quantile`` (linear interpolation) along an axis, all entries valid."""
     return masked_quantile(x, jnp.ones(x.shape, dtype=bool), q, axis=axis)

@@ -49,6 +49,31 @@ def test_masked_quantile_matches_numpy(rng):
     assert float(masked_quantile(jnp.asarray(x), jnp.zeros(30, bool), 0.5)) == 0.0
 
 
+def test_masked_quantile_rankselect_bitexact_vs_sort(rng):
+    """The no-sort rank-selection path must match the sort path BITWISE,
+    including exact duplicate values (index tie-break) and partial masks —
+    it sits inside the band-noise estimator's per-frame scan."""
+    from audio_processing_tools_tpu.ops.stats import masked_quantile_rankselect
+
+    for trial in range(20):
+        x = rng.standard_normal(30).astype(np.float32)
+        # force exact duplicates in ~half the trials
+        if trial % 2:
+            dup = rng.integers(0, 30, size=10)
+            x[dup] = x[dup[0]]
+        valid = rng.random(30) > rng.random() * 0.8
+        for q in [0.0, 0.2, 0.3, rng.random(), 0.9, 1.0]:
+            a = np.asarray(masked_quantile(jnp.asarray(x), jnp.asarray(valid), q))
+            b = np.asarray(
+                masked_quantile_rankselect(jnp.asarray(x), jnp.asarray(valid), q)
+            )
+            np.testing.assert_array_equal(a, b)
+    # all-invalid -> 0, like the sort path
+    assert float(
+        masked_quantile_rankselect(jnp.asarray(x), jnp.zeros(30, bool), 0.5)
+    ) == 0.0
+
+
 def test_quantile_linear_axis(rng):
     x = rng.standard_normal((4, 50)).astype(np.float32)
     ours = np.asarray(quantile_linear(jnp.asarray(x), 0.25, axis=-1))
