@@ -127,8 +127,13 @@ def peak_widths_rel(x: jnp.ndarray, is_peak: jnp.ndarray,
     has_l = jnp.any(le, axis=-1)
     i_l = jnp.max(jnp.where(le, jj, -1), axis=-1)
     i_l_c = jnp.maximum(i_l, 0)
-    x_il = jnp.take_along_axis(x, i_l_c, axis=-1)
-    x_il1 = jnp.take_along_axis(x, jnp.minimum(i_l_c + 1, n - 1), axis=-1)
+    # one-hot picks instead of take_along_axis (serial gather loop on TPU);
+    # the (..., n, n) comparison planes already exist in this function
+    x_il = jnp.sum(jnp.where(jj == i_l_c[..., :, None], xj, 0.0), axis=-1)
+    x_il1 = jnp.sum(
+        jnp.where(jj == jnp.minimum(i_l_c + 1, n - 1)[..., :, None], xj, 0.0),
+        axis=-1,
+    )
     interp_l = jnp.where(
         has_l & (x_il < h),
         (h - x_il) / jnp.where(x_il1 != x_il, x_il1 - x_il, 1.0),
@@ -141,8 +146,11 @@ def peak_widths_rel(x: jnp.ndarray, is_peak: jnp.ndarray,
     has_r = jnp.any(re, axis=-1)
     i_r = jnp.min(jnp.where(re, jj, n), axis=-1)
     i_r_c = jnp.minimum(i_r, n - 1)
-    x_ir = jnp.take_along_axis(x, i_r_c, axis=-1)
-    x_irm = jnp.take_along_axis(x, jnp.maximum(i_r_c - 1, 0), axis=-1)
+    x_ir = jnp.sum(jnp.where(jj == i_r_c[..., :, None], xj, 0.0), axis=-1)
+    x_irm = jnp.sum(
+        jnp.where(jj == jnp.maximum(i_r_c - 1, 0)[..., :, None], xj, 0.0),
+        axis=-1,
+    )
     interp_r = jnp.where(
         has_r & (x_ir < h),
         (h - x_ir) / jnp.where(x_irm != x_ir, x_irm - x_ir, 1.0),

@@ -62,7 +62,7 @@ FULL_RUN_REQUIRED = (
     "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
     "stream_value", "stream_p50_ms", "stream_p99_ms",
     "stream_unbatched_value", "stream_audio_value",
-    "roe_loop_audio_sec_per_sec",
+    "roe_loop_audio_sec_per_sec", "band_noise_loop_audio_sec_per_sec",
     "stream_lowlat_p50_ms", "stream_lowlat_p99_ms",
 )
 TPU_RUN_REQUIRED = (
@@ -84,7 +84,7 @@ def validate_full_artifact(artifact: dict, *, subbench: bool = True) -> None:
     sub = {"alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
            "stream_value", "stream_p50_ms", "stream_p99_ms",
            "stream_unbatched_value", "stream_audio_value",
-           "roe_loop_audio_sec_per_sec",
+           "roe_loop_audio_sec_per_sec", "band_noise_loop_audio_sec_per_sec",
            "stream_lowlat_p50_ms", "stream_lowlat_p99_ms"}
     required = [k for k in FULL_RUN_REQUIRED if subbench or k not in sub]
     if artifact.get("backend") == "tpu":
@@ -424,6 +424,49 @@ def main() -> None:
             (roe_rates[-1] - roe_rates[0]) / roe_rates[len(roe_rates) // 2], 3)
         print(f"# roe device loop (K={Kr}): {roe_loop_rate:.0f} "
               f"audio-sec/sec, spread {roe_loop_spread}", file=sys.stderr)
+
+    # Band-noise estimator device capability, same chained-scan
+    # amortization (the third engine family; pins the r5 scan slimming —
+    # rank-selection quantile + one-hot ring-buffer pushes — per round).
+    bn_loop_rate = None
+    bn_loop_spread = None
+    if not args.no_subbench:
+        from audio_processing_tools_tpu.models.band_noise import (
+            BandNoiseEstimatorConfig,
+            band_noise_process,
+        )
+
+        bn_cfg = BandNoiseEstimatorConfig()
+        Bb, Kb = (2, 2) if args.quick else (32, 64)
+        Nb = bn_cfg.fs * 10
+        bn_mat = (rng.standard_normal((Bb, Nb)) * 0.05).astype(np.float32)
+        bn_d = jax.device_put(bn_mat)
+        np.asarray(bn_d[0, 0])
+
+        def bn_loop(p):
+            def body(seed, _):
+                out = jax.vmap(lambda v: band_noise_process(v, bn_cfg))(
+                    p + (seed % 3.0) * 1e-6
+                )
+                s = (jnp.sum(out["rain_frame_count"][:, -1]).astype(jnp.float32)
+                     + jnp.sum(out["N_E"]))
+                return s % 7.0, ()
+            f, _ = jax.lax.scan(body, jnp.float32(0), None, length=Kb)
+            return f
+
+        bn_c = jax.jit(bn_loop).lower(bn_d).compile()
+        np.asarray(bn_c(bn_d))
+        bn_rates = []
+        for _ in range(2 if args.quick else 5):
+            t0 = time.perf_counter()
+            np.asarray(bn_c(bn_d))
+            bn_rates.append(Kb * Bb * 10.0 / (time.perf_counter() - t0))
+        bn_rates.sort()
+        bn_loop_rate = round(bn_rates[len(bn_rates) // 2], 1)
+        bn_loop_spread = round(
+            (bn_rates[-1] - bn_rates[0]) / bn_rates[len(bn_rates) // 2], 3)
+        print(f"# band-noise device loop (K={Kb}): {bn_loop_rate:.0f} "
+              f"audio-sec/sec, spread {bn_loop_spread}", file=sys.stderr)
 
     # secondary primary metric (BASELINE.md): p50 per-file latency (B=1),
     # container-decode included
@@ -814,6 +857,9 @@ def main() -> None:
         "roe_loop_audio_sec_per_sec": roe_loop_rate,
         "roe_loop_spread": roe_loop_spread,
         "roe_loop_iters": 2 if args.quick else 64,
+        "band_noise_loop_audio_sec_per_sec": bn_loop_rate,
+        "band_noise_loop_spread": bn_loop_spread,
+        "band_noise_loop_iters": 2 if args.quick else 64,
         "alac_value": alac_rate,
         "alac_vs_baseline": (round(alac_rate / 500.0, 3)
                              if alac_rate is not None else None),

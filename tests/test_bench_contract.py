@@ -74,7 +74,7 @@ def _complete_artifact():
         "alac_value", "suppress_value", "suppress_p50_ms", "mel_value",
         "stream_value", "stream_p50_ms", "stream_p99_ms",
         "stream_unbatched_value", "stream_audio_value",
-        "roe_loop_audio_sec_per_sec",
+        "roe_loop_audio_sec_per_sec", "band_noise_loop_audio_sec_per_sec",
         "stream_lowlat_p50_ms", "stream_lowlat_p99_ms",
         "pallas_max_rel_dev",
         "engine_cpu_tpu_frame_agreement", "suppress_cpu_tpu_y_rel_dev",
@@ -93,7 +93,7 @@ def test_full_artifact_validator_accepts_complete():
     "alac_value", "suppress_value", "mel_value", "stream_value",
     "device_loop_audio_sec_per_sec", "hbm_program_bytes",
     "engine_cpu_tpu_frame_agreement", "band_noise_cpu_tpu_frame_agreement",
-    "roe_loop_audio_sec_per_sec",
+    "roe_loop_audio_sec_per_sec", "band_noise_loop_audio_sec_per_sec",
     "stream_lowlat_p50_ms", "stream_lowlat_p99_ms",
 ])
 def test_full_artifact_validator_rejects_null_field(broken):
