@@ -226,8 +226,15 @@ def _find_first_peak_in_range(mag: jnp.ndarray, search_lo, search_hi,
     in_search = (rows > bin_lo) & (rows < bin_hi - 1)
     pk = is_max & in_search
 
-    # rank among peaks (ascending bin)
-    rank = jnp.cumsum(pk, axis=-1) - 1
+    # rank among peaks (ascending bin).  The in-range peak count at bin j
+    # equals C(j) - C(bin_lo) with C the HARMONIC-INDEPENDENT global peak
+    # cumsum (every in-(bin_lo, j] peak is in-search for in-search j, and
+    # rank is only consumed under a ``pk`` mask) — so the six per-harmonic
+    # (T, F) cumsums of the old ``cumsum(pk)`` form collapse to one
+    # CSE-able scan plus elementwise offsets.
+    C = jnp.cumsum(is_max.astype(jnp.int32), axis=-1)          # (T, F)
+    C_lo = jnp.sum(jnp.where(rows == bin_lo, C, 0), axis=-1)   # (T,)
+    rank = C - C_lo[:, None] - 1
     within_first = pk & (rank < num_peaks)
     freq = rows.astype(jnp.float32) * fn_half / F
     accept = (freq > accept_lo) & (freq < accept_hi)
