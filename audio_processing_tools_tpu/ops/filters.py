@@ -499,11 +499,28 @@ def _cascade_matmul_constants(sos: np.ndarray, block: int):
     return out
 
 
+def _boundary_logdepth_powers(sos: np.ndarray, block: int, nb: int):
+    """Trace-time ``(A^block)^(2^k)`` ladder (float64) for the log-depth
+    boundary prefix, k = 0..ceil(log2(nb))-1 — the boundary recurrence
+    steps BLOCKS, so the doubling weights are powers of the block
+    composite matrix."""
+    A, _, _, _ = _cascade_state_space(sos)
+    pows = []
+    span = 1
+    M = np.linalg.matrix_power(A, block)
+    while span < nb:
+        pows.append(M)
+        M = M @ M
+        span *= 2
+    return pows
+
+
 def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
                             zi: jnp.ndarray, axis: int = -1,
                             block: int = 128,
                             reverse: bool = False,
-                            return_zf: bool = False):
+                            return_zf: bool = False,
+                            boundary: str = "scan"):
     """Whole-cascade ``sosfilt`` (y only) as two MXU matmuls + a tiny scan.
 
     The lean path of :func:`sosfilt`.  Versus the blocked parallel scan this
@@ -522,6 +539,18 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
     (``L[i,u] -> L[B-1-i, B-1-u]``, row-reversals of ``Zmat``/``Kblk``)
     plus running the block-boundary scan right-to-left and prepending the
     alignment padding instead of appending it.
+
+    ``boundary="logdepth"`` replaces the sequential block-boundary ``lax.scan``
+    with a Hillis-Steele doubling prefix: level k adds the ``2^k``-shifted
+    partial weighted by the trace-time constant ``A^(2^k)`` — O(log nb)
+    BATCHED einsums instead of ``nb`` latency-bound sequential steps (the
+    scan was most of the filtfilt's device time at nb=873).  Exact linear
+    algebra; float32 summation order differs from the sequential scan
+    (measured ~1e-7 rel on the engine prefilters), and the tree shape
+    depends on nb, so this mode is reserved for the OFFLINE zero-phase
+    :func:`sosfiltfilt` — the streaming/chunked entries keep ``"scan"``,
+    whose per-block FLOP sequence is invariant to how a stream is chunked
+    (the bit-exactness contract of the chunked paths).
 
     ``return_zf=True`` (forward only) additionally returns the final filter
     state in scipy's per-section ``(..., n_sections, 2)`` layout.  The
@@ -569,12 +598,32 @@ def _sosfilt_cascade_matmul(sos: np.ndarray, x: jnp.ndarray,
         zi.astype(dt).reshape(zi.shape[:-2] + (2 * S,)), shape[:-1] + (2 * S,)
     )
 
-    def boundary(z, c):
-        return jnp.einsum("...s,ts->...t", z, Ac, precision=hp) + c, z
+    if boundary == "logdepth":
+        if return_zf:
+            raise ValueError("return_zf requires boundary='scan'")
+        # zstarts[j] = A^j z0 + sum_{u<j} A^{j-1-u} c_u  ==  the inclusive
+        # matrix-weighted prefix of d = [z0, c_0, .., c_{nb-2}]; reverse
+        # runs the same prefix on the flipped block axis
+        cb = cblk[..., ::-1, :] if reverse else cblk
+        d = jnp.concatenate([z0[..., None, :], cb[..., :-1, :]], axis=-2)
+        p = d
+        zeros_pad = [(0, 0)] * (d.ndim - 2)
+        span = 1
+        for Ak64 in _boundary_logdepth_powers(sos, block, nb):
+            Ak = jnp.asarray(Ak64, dt)
+            shifted = jnp.pad(p, zeros_pad + [(span, 0), (0, 0)])[..., :nb, :]
+            p = p + jnp.einsum("...s,ts->...t", shifted, Ak, precision=hp)
+            span *= 2
+        zstarts = p[..., ::-1, :] if reverse else p
+        zfin = None
+    else:
+        def boundary_step(z, c):
+            return jnp.einsum("...s,ts->...t", z, Ac, precision=hp) + c, z
 
-    cT = jnp.moveaxis(cblk, -2, 0)                           # (nb, ..., 2S)
-    zfin, zstarts = jax.lax.scan(boundary, z0, cT, unroll=8, reverse=reverse)
-    zstarts = jnp.moveaxis(zstarts, 0, -2)                   # (..., nb, 2S)
+        cT = jnp.moveaxis(cblk, -2, 0)                       # (nb, ..., 2S)
+        zfin, zstarts = jax.lax.scan(boundary_step, z0, cT, unroll=8,
+                                     reverse=reverse)
+        zstarts = jnp.moveaxis(zstarts, 0, -2)               # (..., nb, 2S)
 
     y = (
         jnp.einsum("...u,iu->...i", xb, Lc, precision=hp)
@@ -663,13 +712,20 @@ def sosfilt(sos: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray | None = None,
     return y, jnp.stack(zf, axis=-2)  # (..., n_sections, 2)
 
 
-def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1,
+                boundary: str = "logdepth") -> jnp.ndarray:
     """Zero-phase forward-backward filter; scipy ``sosfiltfilt`` parity.
 
     Reproduces scipy defaults: odd extension with
     ``padlen = 3 * (2*n_sections + 1 - min(#(b2==0), #(a2==0)))`` and
     ``sosfilt_zi``-scaled initial conditions (scaled by the first/last
     extended sample on the forward/backward pass respectively).
+
+    Zero-phase filtering is inherently offline (it sees the whole clip), so
+    both passes default to the log-depth block-boundary prefix
+    (``boundary="logdepth"``): the nb-step sequential boundary scan was most
+    of the filtfilt's device time.  Pass ``boundary="scan"`` for the
+    sequential form (bit-identical to the pre-r5 output).
     """
     sos = np.asarray(sos, dtype=np.float64)
     n_sections = sos.shape[0]
@@ -693,13 +749,15 @@ def sosfiltfilt(sos: np.ndarray, x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     zi0 = jnp.asarray(zi_base, dtype=ext.dtype)
 
     x0 = ext[..., :1]  # (..., 1)
-    y = sosfilt(sos, ext, zi=zi0 * x0[..., None], return_zf=False)
+    y = _sosfilt_cascade_matmul(sos, ext, zi0 * x0[..., None],
+                                boundary=boundary)
     # backward pass with the flips folded into the cascade constants —
     # no (..., T) reversal copies ever hit HBM
     y0 = y[..., -1:]
     zi_rev = (zi0 * y0[..., None]).astype(y.dtype)
     zi_rev = jnp.broadcast_to(zi_rev, y.shape[:-1] + zi0.shape)
-    y = _sosfilt_cascade_matmul(np.asarray(sos), y, zi_rev, reverse=True)
+    y = _sosfilt_cascade_matmul(np.asarray(sos), y, zi_rev, reverse=True,
+                                boundary=boundary)
     y = y[..., padlen : padlen + n]
     return jnp.moveaxis(y, -1, axis)
 
